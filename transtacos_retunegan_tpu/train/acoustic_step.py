@@ -1,0 +1,84 @@
+"""Jitted train/eval steps for the acoustic model.
+
+One optimizer step = forward (teacher-forced scan) -> loss sum -> Adam with
+Noam LR and global-norm clip 1.0 (reference ``tacotron.py:247-266``).  The
+step is written against replicated params + batch-sharded data; under a
+``jax.sharding.Mesh`` the gradient all-reduce is inserted by the compiler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.acoustic import Tacotron, compute_losses
+from .schedules import noam_lr, teacher_forcing_ratio
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    hp = cfg.acoustic
+    return optax.chain(
+        optax.clip_by_global_norm(hp.grad_clip_norm),
+        optax.scale_by_adam(b1=hp.adam_beta1, b2=hp.adam_beta2, eps=hp.adam_eps),
+        optax.scale_by_learning_rate(lambda step: noam_lr(step, hp)),
+    )
+
+
+def init_state(cfg: Config, rng: jax.Array, batch: Dict[str, Any]) -> TrainState:
+    model = Tacotron(cfg)
+    tfr = jnp.asarray(1.0)
+    params = model.init(
+        {'params': rng, 'noise': jax.random.fold_in(rng, 1),
+         'dropout': jax.random.fold_in(rng, 2), 'tf': jax.random.fold_in(rng, 3)},
+        batch['text'], batch['text_lengths'], batch['prds'],
+        batch['spec_lengths'], batch['mel_targets'], batch['f0_targets'],
+        batch['c0_targets'], tfr, train=True)['params']
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(jnp.asarray(0, jnp.int32), params, opt_state)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def train_step(cfg: Config, state: TrainState, batch: Dict[str, Any],
+               rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    model = Tacotron(cfg)
+    tfr = teacher_forcing_ratio(state.step, cfg.acoustic)
+    rngs = {'noise': jax.random.fold_in(rng, 1),
+            'dropout': jax.random.fold_in(rng, 2),
+            'tf': jax.random.fold_in(rng, 3)}
+
+    def loss_fn(params):
+        out = model.apply({'params': params}, batch['text'],
+                          batch['text_lengths'], batch['prds'],
+                          batch['spec_lengths'], batch['mel_targets'],
+                          batch['f0_targets'], batch['c0_targets'], tfr,
+                          train=True, rngs=rngs)
+        losses = compute_losses(out, batch, cfg, params)
+        return losses['loss'], losses
+
+    grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = make_optimizer(cfg).update(grads, state.opt_state,
+                                                    state.params)
+    params = optax.apply_updates(state.params, updates)
+    gnorm = optax.global_norm(grads)
+    losses = dict(losses, grad_norm=gnorm, tfr=tfr,
+                  learning_rate=noam_lr(state.step, cfg.acoustic))
+    return TrainState(state.step + 1, params, opt_state), losses
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def infer_step(cfg: Config, params, batch: Dict[str, Any],
+               max_iters: int) -> Dict[str, jnp.ndarray]:
+    model = Tacotron(cfg)
+    return model.apply({'params': params}, batch['text'],
+                       batch['text_lengths'], train=False, max_iters=max_iters)
