@@ -1,0 +1,188 @@
+"""Vocoder tests: all generator variants, discriminators, losses, GAN step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transtacos_retunegan_tpu.config import Config
+from transtacos_retunegan_tpu.models import vocoder_losses as L
+from transtacos_retunegan_tpu.models.discriminators import (
+    MultiPeriodDiscriminator, MultiScaleDiscriminator, MultiStftDiscriminator)
+from transtacos_retunegan_tpu.models.generators import GENERATORS, make_generator
+from transtacos_retunegan_tpu.train.vocoder_step import (gan_eval_step,
+                                                         gan_train_step,
+                                                         init_gan_state)
+
+CFG = Config()
+HOP = CFG.audio.hop_length
+SEG = 2048            # small segment for tests (8 frames)
+FRAMES = SEG // HOP
+B = 2
+
+
+def small_cfg(ver='RefineGAN_small'):
+    return dataclasses.replace(
+        CFG, vocoder=dataclasses.replace(
+            CFG.vocoder, generator_ver=ver, upsample_initial_channel=32,
+            multi_stft_params=((1024, 512, 120), (512, 256, 60)),
+        ))
+
+
+def gen_inputs(rng, split=False):
+    mel = jnp.asarray(rng.randn(B, FRAMES, 80).astype(np.float32))
+    tmpl = jnp.asarray(rng.randn(B, SEG, 1).astype(np.float32) * 0.1)
+    if not split:
+        return mel, tmpl
+    uv = jnp.asarray((rng.rand(B, SEG, 1) > 0.5).astype(np.float32))
+    return mel, mel, tmpl, tmpl, uv
+
+
+class TestGenerators:
+    @pytest.mark.parametrize('ver', sorted(GENERATORS))
+    def test_forward_preserves_length(self, ver, rng):
+        cfg = small_cfg(ver)
+        gen = make_generator(cfg)
+        rngs = {'params': jax.random.PRNGKey(0), 'noise': jax.random.PRNGKey(1)}
+        if cfg.vocoder.split_cv or ver.endswith('Split'):
+            args = gen_inputs(rng, split=True)
+        else:
+            args = gen_inputs(rng)
+        variables = gen.init(rngs, *args, train=True)
+        out = gen.apply(variables, *args, train=True,
+                        rngs={'noise': jax.random.PRNGKey(2)})
+        assert out.shape == (B, SEG, 1), f'{ver}: {out.shape}'
+        assert float(jnp.max(jnp.abs(out))) <= 1.0
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_refinegan_small_param_count(self, rng):
+        # full-size default config: reference measured 2,748,371 params
+        # (retunegan/hparam.py:50); ours should land in the same ballpark
+        gen = make_generator(CFG)
+        args = gen_inputs(rng)
+        variables = gen.init({'params': jax.random.PRNGKey(0),
+                              'noise': jax.random.PRNGKey(1)}, *args, train=True)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables['params']))
+        assert 2_000_000 < n < 3_600_000, n
+
+
+class TestDiscriminators:
+    def test_msd(self, rng):
+        cfg = small_cfg()
+        y = jnp.asarray(rng.randn(B, SEG, 1).astype(np.float32))
+        msd = MultiScaleDiscriminator(cfg)
+        v = msd.init(jax.random.PRNGKey(0), y, y)
+        rs, gs, fr, fg = msd.apply(v, y, y * 0.5)
+        assert len(rs) == 3 and len(fr[0]) == 6
+        # identical inputs give identical scores
+        np.testing.assert_allclose(np.asarray(rs[0]),
+                                   np.asarray(msd.apply(v, y, y)[1][0]), atol=1e-6)
+
+    def test_mpd_periods_and_padding(self, rng):
+        cfg = small_cfg()
+        # length not divisible by any period: exercises reflect pad
+        y = jnp.asarray(rng.randn(B, SEG - 3, 1).astype(np.float32))
+        mpd = MultiPeriodDiscriminator(cfg)
+        v = mpd.init(jax.random.PRNGKey(0), y, y)
+        rs, gs, fr, fg = mpd.apply(v, y, y)
+        assert len(rs) == 4
+        for r, g in zip(rs, gs):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=1e-6)
+
+    def test_mtd(self, rng):
+        cfg = small_cfg()
+        y = jnp.asarray(rng.randn(B, SEG).astype(np.float32))
+        _, sr, sg = L.multi_stft_specs_and_loss(y, y * 0.9, cfg)
+        assert sr[0].shape[-1] == 2   # (log-mag, phase) channels
+        mtd = MultiStftDiscriminator(cfg)
+        v = mtd.init(jax.random.PRNGKey(0), sr, sg)
+        rs, gs, fr, fg = mtd.apply(v, sr, sg)
+        assert len(rs) == len(cfg.vocoder.multi_stft_params)
+
+
+class TestLosses:
+    def test_mstft_zero_for_identical(self, rng):
+        cfg = small_cfg()
+        y = jnp.asarray(rng.randn(B, SEG).astype(np.float32))
+        loss, _, _ = L.multi_stft_specs_and_loss(y, y, cfg)
+        assert float(loss) == pytest.approx(0.0, abs=1e-5)
+
+    def test_mstft_positive_for_different(self, rng):
+        cfg = small_cfg()
+        y = jnp.asarray(rng.randn(B, SEG).astype(np.float32))
+        loss, _, _ = L.multi_stft_specs_and_loss(y, y * 0.3, cfg)
+        assert float(loss) > 0.01
+
+    def test_envelope_dynamic_strip(self, rng):
+        cfg = small_cfg()
+        y = jnp.asarray(rng.randn(B, SEG).astype(np.float32))
+        assert float(L.envelope_loss(y, y, cfg)) == pytest.approx(0.0, abs=1e-6)
+        assert float(L.dynamic_loss(y, y, cfg)) == pytest.approx(0.0, abs=1e-6)
+        assert float(L.envelope_loss(y, y * 0.2, cfg)) > 0.1
+        assert np.isfinite(float(L.strip_mirror_loss(y)))
+
+    def test_lsgan_direction(self):
+        cfg = small_cfg()
+        good_r = [jnp.ones((B, 10))]
+        bad_g = [jnp.zeros((B, 10))]
+        # perfect discrimination -> zero D loss
+        assert float(L.discriminator_loss(good_r, bad_g, cfg)) == pytest.approx(0.0)
+        # fooled discriminator -> zero G loss
+        assert float(L.generator_loss(good_r, good_r, cfg)) == pytest.approx(0.0)
+        assert float(L.generator_loss(bad_g, good_r, cfg)) == pytest.approx(1.0)
+
+    def test_feature_loss(self, rng):
+        a = [[jnp.ones((2, 3)), jnp.zeros((2, 3))]]
+        b = [[jnp.zeros((2, 3)), jnp.zeros((2, 3))]]
+        assert float(L.feature_loss(a, b)) == pytest.approx(1.0)
+
+
+class TestGANStep:
+    def test_one_step_runs_and_updates(self, rng):
+        cfg = small_cfg()
+        batch = {
+            'mel': jnp.asarray(rng.randn(B, FRAMES, 80).astype(np.float32)),
+            'tmpl': jnp.asarray(rng.randn(B, SEG).astype(np.float32) * 0.1),
+            'wav': jnp.asarray(rng.randn(B, SEG).astype(np.float32) * 0.1),
+        }
+        state = init_gan_state(cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=10)
+        before = jax.tree.leaves(state.gen_params)[0].copy()
+        state2, metrics = gan_train_step(cfg, state, batch, jax.random.PRNGKey(1), 10)
+        assert int(state2.step) == 1
+        for k in ('loss_gen_all', 'loss_disc_all', 'loss_mstft', 'loss_dyn',
+                  'sc_s_r', 'sc_s_g'):
+            assert np.isfinite(float(metrics[k])), k
+        after = jax.tree.leaves(state2.gen_params)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_mstft_drops_when_overfitting(self, rng):
+        cfg = small_cfg()
+        t = np.arange(SEG) / 22050
+        wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        batch = {
+            'mel': jnp.asarray(rng.randn(B, FRAMES, 80).astype(np.float32)),
+            'tmpl': jnp.asarray(np.stack([wav, wav])),
+            'wav': jnp.asarray(np.stack([wav, wav])),
+        }
+        state = init_gan_state(cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=100)
+        first = last = None
+        for i in range(12):
+            state, m = gan_train_step(cfg, state, batch, jax.random.PRNGKey(i), 100)
+            if first is None:
+                first = float(m['loss_mstft'])
+            last = float(m['loss_mstft'])
+        assert last < first, f'{first} -> {last}'
+
+    def test_eval_step(self, rng):
+        cfg = small_cfg()
+        batch = {
+            'mel': jnp.asarray(rng.randn(1, FRAMES, 80).astype(np.float32)),
+            'tmpl': jnp.asarray(rng.randn(1, SEG).astype(np.float32) * 0.1),
+            'wav': jnp.asarray(rng.randn(1, SEG).astype(np.float32) * 0.1),
+        }
+        state = init_gan_state(cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=10)
+        y_g, metrics = gan_eval_step(cfg, state.gen_params, batch)
+        assert y_g.shape == (1, SEG)
+        assert all(np.isfinite(float(v)) for v in metrics.values())

@@ -1,0 +1,229 @@
+"""Vocoder building blocks: weight-normalized convs and residual stacks.
+
+TPU-first rebuild of the reference's torch layers
+(``retunegan/models/generator.py:17-187``):
+
+* activations-last layout ``[B, T, C]`` (``[B, H, W, C]`` in 2D) -- the
+  layout XLA:TPU prefers for convolutions;
+* weight normalization (torch ``nn.utils.weight_norm``, dim=0) implemented
+  directly on the kernel param: ``w = g * v / ||v||`` with the norm taken per
+  output channel;
+* transposed conv expressed as an input-dilated convolution with the exact
+  torch padding arithmetic (``padding=k//2, output_padding=s-1`` -> length
+  scales by exactly ``s`` for odd ``k``);
+* kaiming-normal init with leaky_relu slope 0.15
+  (reference ``retunegan/utils.py:26-29``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LRELU_SLOPE = 0.15   # reference ``retunegan/utils.py:11``
+
+
+def kaiming_leaky_init(slope: float = LRELU_SLOPE):
+    gain = 2.0 / (1.0 + slope ** 2)
+    return nn.initializers.variance_scaling(gain, 'fan_in', 'normal')
+
+
+def _wn_gain(slope: float = LRELU_SLOPE) -> float:
+    """Initial per-channel scale ~= expected row norm of a kaiming kernel."""
+    return math.sqrt(2.0 / (1.0 + slope ** 2))
+
+
+def lrelu(x: jnp.ndarray, slope: float = LRELU_SLOPE) -> jnp.ndarray:
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+class WNConv(nn.Module):
+    """Weight-normalized 1D convolution, ``[B, T, Cin] -> [B, T', Cout]``.
+
+    Matches ``weight_norm(Conv1d(...))`` with explicit symmetric padding.
+    """
+    features: int
+    kernel: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: int = -1          # -1 => torch 'same-ish' = dilation*(k//2)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.padding if self.padding >= 0 else self.dilation * (self.kernel // 2)
+        cin = x.shape[-1]
+        v = self.param('v', kaiming_leaky_init(),
+                       (self.kernel, cin // self.groups, self.features))
+        g = self.param('g', nn.initializers.constant(_wn_gain()), (self.features,))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+        w = v * (g[None, None, :] / norm)
+        b = self.param('b', nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(self.stride,), padding=[(pad, pad)],
+            rhs_dilation=(self.dilation,), feature_group_count=self.groups,
+            dimension_numbers=('NHC', 'HIO', 'NHC'))
+        return y + b
+
+
+class WNConvTranspose(nn.Module):
+    """Weight-normalized 1D transposed conv with torch semantics.
+
+    ``out_len = (in-1)*stride - 2*padding + kernel + output_padding``; with
+    the reference's ``padding=k//2, output_padding=s-1`` (odd k) this is an
+    exact ``stride x`` upsampler.  Implemented as an input-dilated conv:
+    lhs_dilation=s, pad (k-1-p, k-1-p+op).
+    """
+    features: int
+    kernel: int
+    stride: int
+    padding: int = -1          # -1 => k//2
+    output_padding: int = -1   # -1 => stride-1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.padding if self.padding >= 0 else self.kernel // 2
+        op = self.output_padding if self.output_padding >= 0 else self.stride - 1
+        cin = x.shape[-1]
+        v = self.param('v', kaiming_leaky_init(),
+                       (self.kernel, cin, self.features))
+        g = self.param('g', nn.initializers.constant(_wn_gain()), (self.features,))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+        w = v * (g[None, None, :] / norm)
+        b = self.param('b', nn.initializers.zeros, (self.features,))
+        # torch transposed conv correlates with the flipped kernel
+        w = w[::-1]
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,),
+            padding=[(self.kernel - 1 - p, self.kernel - 1 - p + op)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=('NHC', 'HIO', 'NHC'))
+        return y + b
+
+
+class WNConv2d(nn.Module):
+    """Weight-normalized 2D convolution, ``[B, H, W, Cin] -> [B, H', W', Cout]``."""
+    features: int
+    kernel: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        v = self.param('v', kaiming_leaky_init(),
+                       (self.kernel[0], self.kernel[1], cin, self.features))
+        g = self.param('g', nn.initializers.constant(_wn_gain()), (self.features,))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
+        w = v * (g[None, None, None, :] / norm)
+        b = self.param('b', nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + b
+
+
+class LearnedGaussianNoise(nn.Module):
+    """x + U[0,1) * w followed by leaky_relu (sic -- the reference uses
+    *uniform* noise despite the name; ``generator.py:19-30``)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        w = self.param('w', nn.initializers.constant(1e-6), (1,))
+        if train:
+            n = jax.random.uniform(self.make_rng('noise'), x.shape, x.dtype)
+            x = x + n * w
+        return lrelu(x)
+
+
+class ResidualStack(nn.Module):
+    """MelGAN residual stack: 3 units of (lrelu-conv(dilated)-lrelu-conv)
+    with dilations 1/3/9 (reference ``generator.py:33-77``; note the
+    reference passes kernel k but pads for k=3 -- we keep k=3)."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for d in (1, 3, 9):
+            r = nn.leaky_relu(x, negative_slope=0.01)   # torch default slope
+            r = WNConv(self.channels, 3, dilation=d)(r)
+            r = nn.leaky_relu(r, negative_slope=0.01)
+            r = WNConv(self.channels, 3)(r)
+            x = x + r
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """MelGAN up/down block: lrelu -> resize conv -> ResidualStack
+    (reference ``generator.py:79-106``)."""
+    out_channels: int
+    kernel: int
+    stride: int
+    resize: str = 'u'   # 'u' transposed conv, 'd' strided conv
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = lrelu(x)
+        if self.resize == 'u':
+            # torch ConvTranspose1d(k, s, padding=s//2), output_padding=0:
+            # out = (in-1)*s - 2*(s//2) + k = s*in exactly for the reference's
+            # (k=16,s=8) and (k=4,s=2) pairs
+            x = WNConvTranspose(self.out_channels, self.kernel, self.stride,
+                                padding=self.stride // 2, output_padding=0)(x)
+        else:
+            x = WNConv(self.out_channels, self.kernel, stride=self.stride,
+                       padding=self.stride // 2)(x)
+        return ResidualStack(self.out_channels)(x)
+
+
+class ResBlock2(nn.Module):
+    """HiFiGAN 2-conv dilated resblock (reference ``generator.py:109-131``)."""
+    channels: int
+    kernel: int = 3
+    dilation: Sequence[int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for d in self.dilation:
+            xt = lrelu(x)
+            xt = WNConv(self.channels, self.kernel, dilation=d)(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock3(nn.Module):
+    """3-conv dilated resblock (reference ``generator.py:133-155``)."""
+    channels: int
+    kernel: int = 3
+    dilation: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for d in self.dilation:
+            xt = lrelu(x)
+            xt = WNConv(self.channels, self.kernel, dilation=d)(xt)
+            x = xt + x
+        return x
+
+
+class ResBlockFull(nn.Module):
+    """HiFiGAN-v1 style 2-stage resblock (reference ``generator.py:157-187``)."""
+    channels: int
+    kernel: int = 3
+    dilation: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for d in self.dilation:
+            xt = lrelu(x)
+            xt = WNConv(self.channels, self.kernel, dilation=d)(xt)
+            xt = lrelu(xt)
+            xt = WNConv(self.channels, self.kernel, dilation=1)(xt)
+            x = xt + x
+        return x
