@@ -1,0 +1,123 @@
+"""Benchmark: end-to-end synthesis real-time factor on the current device.
+
+Measures, with fixed decode work (static-scan acoustic decode + Griffin-Lim
+template + RefineGAN_small vocoder at full default dims):
+
+  * acoustic mel frames/sec (80-step AR scan -> 400 frames)
+  * vocoder samples/sec (incl. the 4-iter GL template)
+  * end-to-end RTF = synth_time / audio_duration
+
+Prints ONE JSON line; baseline is the driver's north-star RTF <= 0.05
+(>= 20x real time) per chip, so ``vs_baseline = 0.05 / rtf`` (>1 beats it).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from transtacos_retunegan_tpu.audio import dsp
+    from transtacos_retunegan_tpu.config import Config
+    from transtacos_retunegan_tpu.models.acoustic import Tacotron
+    from transtacos_retunegan_tpu.models.generators import make_generator
+    from transtacos_retunegan_tpu.text import frontend
+    from transtacos_retunegan_tpu.train.acoustic_step import init_state
+
+    cfg = Config()
+    au = cfg.audio
+    r = cfg.acoustic.outputs_per_step
+    max_iters = 80                      # 400 frames = 4.64 s of audio
+    t_frames = max_iters * r
+    audio_seconds = t_frames * au.hop_length / au.sample_rate
+
+    pinyin = ('zhe4 shi4 yi2 ge4 yong4 lai2 ce4 shi4 he2 cheng2 su4 du4 de5 '
+              'chang2 ju4 zi5 ni3 hao3 shi4 jie4')
+    seq = frontend.serialize_inference(pinyin)
+    n_pad = 80
+    text = np.zeros((1, n_pad, 2), np.int32)
+    text[0, :seq.shape[0]] = seq
+    text_j = jnp.asarray(text)
+    lens_j = jnp.asarray([seq.shape[0]], np.int32)
+
+    dummy = {
+        'text': text_j, 'text_lengths': lens_j,
+        'prds': jnp.zeros((1, n_pad), jnp.int32),
+        'spec_lengths': jnp.asarray([4 * r]),
+        'mel_targets': jnp.zeros((1, 4 * r, au.n_mel)),
+        'f0_targets': jnp.zeros((1, 4 * r), jnp.int32),
+        'c0_targets': jnp.zeros((1, 4 * r), jnp.int32),
+    }
+    ac_params = init_state(cfg, jax.random.PRNGKey(0), dummy).params
+    gen = make_generator(cfg)
+    gen_params = gen.init(
+        {'params': jax.random.PRNGKey(1), 'noise': jax.random.PRNGKey(2)},
+        jnp.zeros((1, t_frames, au.n_mel)),
+        jnp.zeros((1, t_frames * au.hop_length, 1)), train=False)['params']
+
+    @jax.jit
+    def acoustic(params, text, lens):
+        model = Tacotron(cfg)
+        out = model.apply({'params': params}, text, lens, train=False,
+                          max_iters=max_iters)
+        return out['mag_outputs']
+
+    @jax.jit
+    def vocode(params, mag, key):
+        s = dsp.spec_to_natural_scale(mag[0].T, au)
+        s = dsp.fix_zero_dc(s, au)
+        mel = jnp.log(jnp.clip(dsp.mag_to_mel(s, au), min=dsp.EPS_AMP))
+        log_mag = jnp.log(jnp.clip(s, min=dsp.EPS_AMP))
+        wavlen = au.hop_length * t_frames
+        tmpl = dsp.inv_log_mag(log_mag, au, length=wavlen - 1, key=key)
+        tmpl = jnp.pad(tmpl, (0, 1))
+        wav = gen.apply({'params': params}, mel.T[None], tmpl[None, :, None],
+                        train=False)
+        return wav[0, :, 0]
+
+    key = jax.random.PRNGKey(3)
+
+    # warmup / compile
+    mag = acoustic(ac_params, text_j, lens_j)
+    wav = vocode(gen_params, mag, key)
+    wav.block_until_ready()
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        mag = acoustic(ac_params, text_j, lens_j)
+        mag.block_until_ready()
+    t_ac = (time.perf_counter() - t0) / n_rep
+
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        wav = vocode(gen_params, mag, key)
+        wav.block_until_ready()
+    t_vo = (time.perf_counter() - t0) / n_rep
+
+    rtf = (t_ac + t_vo) / audio_seconds
+    result = {
+        'metric': 'e2e_rtf',
+        'value': round(rtf, 5),
+        'unit': 'synth_time/audio_time (lower is better)',
+        'vs_baseline': round(0.05 / rtf, 3),
+        'detail': {
+            'device': str(jax.devices()[0]),
+            'acoustic_s': round(t_ac, 4),
+            'vocoder_s': round(t_vo, 4),
+            'audio_s': round(audio_seconds, 3),
+            'mel_frames_per_s': round(t_frames / t_ac, 1),
+            'vocoder_samples_per_s': round(t_frames * au.hop_length / t_vo, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

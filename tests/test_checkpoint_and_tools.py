@@ -1,0 +1,155 @@
+"""Checkpoint round trips (acoustic + g_/do_ split), metrics, DSP studies."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transtacos_retunegan_tpu.config import Config
+from transtacos_retunegan_tpu.eval import metrics
+from transtacos_retunegan_tpu.tools import dsp_studies
+from transtacos_retunegan_tpu.train import checkpoint as ckpt
+
+CFG = dataclasses.replace(
+    Config(),
+    acoustic=dataclasses.replace(
+        Config().acoustic, embed_depth=32, encoder_depth=32, decoder_depth=64,
+        attention_depth=16, prenet_depths=(32,), posnet_depth=64,
+        var_embed_depth=16, var_prednet_depth=16, prdsnet_depth=16, posenc_depth=8),
+    vocoder=dataclasses.replace(
+        Config().vocoder, upsample_initial_channel=32,
+        multi_stft_params=((512, 256, 60),)),
+)
+
+
+class TestConfigPersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        path = CFG.save(str(tmp_path))
+        loaded = Config.load(path)
+        assert loaded == CFG
+        assert loaded.vocoder.multi_stft_params == ((512, 256, 60),)
+
+    def test_derived_fields(self):
+        # floor(midi(73.256))=37, ceil(midi(595.946))=75 -> 39 bins
+        # (matches the reference's import-time derivation, audio.py:19-23)
+        assert CFG.audio.n_f0_min == 37
+        assert CFG.audio.n_f0_bins == 39
+        assert CFG.audio.frames_per_segment == 32
+
+
+class TestAcousticCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from transtacos_retunegan_tpu.train.acoustic_step import init_state
+        r = CFG.acoustic.outputs_per_step
+        dummy = {
+            'text': jnp.zeros((1, 8, 2), jnp.int32),
+            'text_lengths': jnp.asarray([8]),
+            'prds': jnp.zeros((1, 8), jnp.int32),
+            'spec_lengths': jnp.asarray([4 * r]),
+            'mel_targets': jnp.zeros((1, 4 * r, 80)),
+            'f0_targets': jnp.zeros((1, 4 * r), jnp.int32),
+            'c0_targets': jnp.zeros((1, 4 * r), jnp.int32),
+        }
+        state = init_state(CFG, jax.random.PRNGKey(0), dummy)
+        state = state._replace(step=jnp.asarray(42, jnp.int32))
+        ckpt.save_acoustic(str(tmp_path), state)
+        template = init_state(CFG, jax.random.PRNGKey(1), dummy)
+        restored = ckpt.restore_acoustic(str(tmp_path), template)
+        assert restored is not None
+        assert int(restored.step) == 42
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_max_keep_prunes(self, tmp_path):
+        import os
+        from transtacos_retunegan_tpu.train.acoustic_step import init_state
+        r = CFG.acoustic.outputs_per_step
+        dummy = {
+            'text': jnp.zeros((1, 8, 2), jnp.int32), 'text_lengths': jnp.asarray([8]),
+            'prds': jnp.zeros((1, 8), jnp.int32), 'spec_lengths': jnp.asarray([4 * r]),
+            'mel_targets': jnp.zeros((1, 4 * r, 80)),
+            'f0_targets': jnp.zeros((1, 4 * r), jnp.int32),
+            'c0_targets': jnp.zeros((1, 4 * r), jnp.int32),
+        }
+        state = init_state(CFG, jax.random.PRNGKey(0), dummy)
+        for step in (1, 2, 3):
+            ckpt.save_acoustic(str(tmp_path), state._replace(
+                step=jnp.asarray(step, jnp.int32)), keep=1)
+        dirs = [d for d in os.listdir(tmp_path) if d.startswith('ckpt_')]
+        assert dirs == ['ckpt_00000003']
+
+
+class TestGANCheckpoint:
+    def test_g_do_split_roundtrip(self, tmp_path, rng):
+        from transtacos_retunegan_tpu.train.vocoder_step import init_gan_state
+        seg = 2048
+        batch = {
+            'mel': jnp.asarray(rng.randn(1, seg // 256, 80).astype(np.float32)),
+            'tmpl': jnp.asarray(rng.randn(1, seg).astype(np.float32)),
+            'wav': jnp.asarray(rng.randn(1, seg).astype(np.float32)),
+        }
+        state = init_gan_state(CFG, jax.random.PRNGKey(0), batch, 10)
+        state = state._replace(step=jnp.asarray(7, jnp.int32))
+        g_path, do_path = ckpt.save_gan(str(tmp_path), state, epoch=3)
+        assert 'g_00000007' in g_path and 'do_00000007' in do_path
+
+        template = init_gan_state(CFG, jax.random.PRNGKey(9), batch, 10)
+        restored, epoch = ckpt.restore_gan(str(tmp_path), template)
+        assert epoch == 3 and int(restored.step) == 7
+        a = jax.tree.leaves(state.gen_params)[0]
+        b = jax.tree.leaves(restored.gen_params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # inference loads only g_*
+        gen_only = ckpt.restore_generator_params(str(tmp_path), template.gen_params)
+        c = jax.tree.leaves(gen_only)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+class TestMetrics:
+    def test_identical_is_zero(self):
+        t = np.arange(22050) / 22050
+        y = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        m = metrics.evaluate_pair(y, y, CFG)
+        assert m['mstft'] == pytest.approx(0.0, abs=1e-5)
+        assert m['mcd'] == pytest.approx(0.0, abs=1e-5)
+        assert m['snr_db'] > 60
+
+    def test_degraded_is_worse(self):
+        r = np.random.RandomState(0)
+        t = np.arange(22050) / 22050
+        y = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        y_noisy = y + 0.05 * r.randn(len(y)).astype(np.float32)
+        m = metrics.evaluate_pair(y, y_noisy, CFG)
+        assert m['mstft'] > 0.05
+        assert 0 < m['snr_db'] < 30
+
+
+class TestDSPStudies:
+    @pytest.fixture(scope='class')
+    def sig(self):
+        return dsp_studies._test_signal(CFG.audio, seconds=1.0)
+
+    def test_griffinlim_momentum_helps(self, sig):
+        out = dsp_studies.study_griffinlim(CFG.audio, sig)
+        assert out['iters=4,momentum=0.7'] < out['iters=4,momentum=0.0'] * 1.2
+        assert out['iters=30,momentum=0.0'] < out['iters=4,momentum=0.0']
+
+    def test_phase_recovery_ordering(self, sig):
+        out = dsp_studies.study_phase_recovery(CFG.audio, sig)
+        # perfect roundtrip << GL from magnitude
+        assert out['istft_roundtrip'] < 1e-6
+        assert out['mag_only_gl'] > out['istft_roundtrip']
+
+    def test_downsample_avgpool_removes_hf(self, sig):
+        r = np.random.RandomState(1)
+        noisy = sig + 0.2 * r.randn(len(sig)).astype(np.float32)
+        out = dsp_studies.study_downsample(CFG.audio, noisy)
+        assert out['avgpool_hf_ratio'] < out['orig_hf_ratio']
+
+    def test_istft_iteration_stable(self, sig):
+        out = dsp_studies.study_istft_iteration(CFG.audio, sig, n_iter=10)
+        assert out['iter_10'] < 1e-3

@@ -1,0 +1,98 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transtacos_retunegan_tpu.config import Config
+from transtacos_retunegan_tpu.parallel import (make_mesh, replicate,
+                                               shard_batch, shard_params_tp)
+from transtacos_retunegan_tpu.train.acoustic_step import init_state, train_step
+from transtacos_retunegan_tpu.text.symbols import get_vocab_size
+
+CFG = dataclasses.replace(
+    Config(),
+    acoustic=dataclasses.replace(
+        Config().acoustic, embed_depth=32, encoder_depth=32, decoder_depth=64,
+        attention_depth=16, prenet_depths=(32,), posnet_depth=64,
+        var_embed_depth=16, var_prednet_depth=16, prdsnet_depth=16,
+        posenc_depth=8, batch_size=8),
+)
+
+
+def batch_of(b, n=12, t=20, seed=0):
+    rng = np.random.RandomState(seed)
+    vocab = get_vocab_size()
+    return {
+        'text': np.stack([rng.randint(4, vocab, (b, n)),
+                          rng.randint(0, 6, (b, n))], -1).astype(np.int32),
+        'text_lengths': np.full(b, n, np.int32),
+        'prds': rng.randint(0, 6, (b, n)).astype(np.int32),
+        'spec_lengths': np.full(b, t, np.int32),
+        'mel_targets': rng.randn(b, t, 80).astype(np.float32),
+        'mag_targets': rng.randn(b, t, 1024).astype(np.float32),
+        'f0_targets': rng.randint(0, CFG.audio.n_f0_bins, (b, t)).astype(np.int32),
+        'c0_targets': rng.randint(0, 32, (b, t)).astype(np.int32),
+        'stop_token_targets': np.zeros((b, t), np.float32),
+        'frame_loss_len': np.asarray(t, np.int32),
+        'text_loss_len': np.asarray(n, np.int32),
+    }
+
+
+class TestMesh:
+    def test_8_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_mesh_shapes(self):
+        m1 = make_mesh(8)
+        assert m1.shape == {'data': 8, 'model': 1}
+        m2 = make_mesh(8, model_parallel=2)
+        assert m2.shape == {'data': 4, 'model': 2}
+
+
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self):
+        batch = batch_of(8)
+        # train_step donates the state; build two identical states
+        state = init_state(CFG, jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, batch))
+        state_b = init_state(CFG, jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, batch))
+        rng = jax.random.PRNGKey(42)
+
+        # single device
+        s1, l1 = train_step(CFG, state, jax.tree.map(jnp.asarray, batch), rng)
+
+        # 8-way DP: batch sharded, params replicated
+        mesh = make_mesh(8)
+        state_r = type(state_b)(state_b.step, replicate(mesh, state_b.params),
+                                replicate(mesh, state_b.opt_state))
+        sharded = shard_batch(mesh, batch)
+        s2, l2 = train_step(CFG, state_r, sharded, rng)
+
+        assert float(l1['loss']) == pytest.approx(float(l2['loss']), rel=2e-4)
+        p1 = jax.tree.leaves(s1.params)[0]
+        p2 = jax.tree.leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=2e-3, atol=2e-5)
+
+
+class TestTensorParallel:
+    def test_tp_sharding_compiles_and_matches(self):
+        batch = batch_of(8)
+        state = init_state(CFG, jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, batch))
+        state_b = init_state(CFG, jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, batch))
+        rng = jax.random.PRNGKey(42)
+        s1, l1 = train_step(CFG, state, jax.tree.map(jnp.asarray, batch), rng)
+
+        mesh = make_mesh(8, model_parallel=2)
+        tp_params = shard_params_tp(mesh, state_b.params)
+        # at least one param actually sharded over 'model'
+        shardings = {str(x.sharding.spec) for x in jax.tree.leaves(tp_params)}
+        assert any('model' in s for s in shardings), shardings
+        state_tp = type(state_b)(state_b.step, tp_params,
+                                 replicate(mesh, state_b.opt_state))
+        sharded = shard_batch(mesh, batch)
+        s2, l2 = train_step(CFG, state_tp, sharded, rng)
+        assert float(l1['loss']) == pytest.approx(float(l2['loss']), rel=2e-3)

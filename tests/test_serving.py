@@ -1,0 +1,124 @@
+"""End-to-end serving tests: pipeline surfaces + the HTTP contract."""
+
+import dataclasses
+import json
+import pickle
+import urllib.request
+
+import numpy as np
+import pytest
+
+from transtacos_retunegan_tpu.config import Config
+from transtacos_retunegan_tpu.serve.httpd import serve_all
+from transtacos_retunegan_tpu.serve.pipeline import Synthesizer
+
+
+@pytest.fixture(scope='module')
+def synth():
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        acoustic=dataclasses.replace(
+            cfg.acoustic, embed_depth=32, encoder_depth=32, decoder_depth=64,
+            attention_depth=16, prenet_depths=(32,), posnet_depth=64,
+            var_embed_depth=16, var_prednet_depth=16, prdsnet_depth=16,
+            posenc_depth=8, max_iters=6),
+        vocoder=dataclasses.replace(cfg.vocoder, upsample_initial_channel=32),
+    )
+    return Synthesizer(cfg)
+
+
+class TestPipeline:
+    def test_synthesize_spec_contract(self, synth):
+        spec = synth.synthesize_spec('ni3 hao3')
+        assert spec.shape[0] == 1025          # DC restored
+        assert spec.shape[1] % 5 == 0
+        assert np.isfinite(spec).all() and (spec >= 0).all()
+
+    def test_synthesize_wav_gl(self, synth):
+        wav = synth.synthesize_wav('ni3 hao3', trim=False)
+        assert wav.ndim == 1 and len(wav) > 0
+        assert np.isfinite(wav).all()
+
+    def test_vocode_both_orientations(self, synth):
+        spec = synth.synthesize_spec('da4 jia1')
+        w1 = synth.vocode(spec)
+        w2 = synth.vocode(spec.T)
+        assert len(w1) == len(w2) == 256 * spec.shape[1]
+
+    def test_tts_pinyin(self, synth):
+        wav = synth.tts('zhong1 guo2', neural=True)
+        assert len(wav) > 0 and np.isfinite(wav).all()
+        assert np.abs(wav).max() <= 1.0
+
+    def test_tts_kanji_without_provider_raises(self, synth):
+        if synth.kanji2pinyin.available:
+            pytest.skip('pinyin provider present')
+        with pytest.raises(RuntimeError, match='pinyin'):
+            synth.tts('你好世界')
+
+    def test_bucket_reuse(self, synth):
+        # two different lengths within the same bucket share a compile
+        synth.vocode(synth.synthesize_spec('a1'))
+        n_before = synth._vocode_fn.cache_info().currsize
+        synth.vocode(synth.synthesize_spec('a1 a2'))
+        assert synth._vocode_fn.cache_info().currsize == n_before
+
+
+class TestHTTP:
+    @pytest.fixture(scope='class')
+    def servers(self, synth):
+        servers = serve_all(synth, host='127.0.0.1', webui_port=15103,
+                            vocoder_port=15104, acoustic_port=15105)
+        yield servers
+        for s in servers:
+            s.shutdown()
+
+    def test_webui_page(self, servers):
+        body = urllib.request.urlopen('http://127.0.0.1:15103/').read()
+        assert b'<html' in body.lower()
+
+    def test_synth_endpoint_returns_wav(self, servers):
+        r = urllib.request.urlopen(
+            'http://127.0.0.1:15103/synth?text=ni3%20hao3', timeout=300)
+        body = r.read()
+        assert body[:4] == b'RIFF'
+        assert r.headers['Content-Type'] == 'audio/wav'
+
+    def test_synth_spec_pickle_contract(self, servers):
+        req = urllib.request.Request(
+            'http://127.0.0.1:15105/synth_spec',
+            data=json.dumps({'pinyin': 'ni3 hao3'}).encode(),
+            headers={'Content-Type': 'application/json'})
+        spec = pickle.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert spec.dtype == np.float32
+        assert spec.shape[1] == 1025          # [T, F] like the reference
+
+    def test_vocode_pickle_contract(self, servers):
+        spec = np.abs(np.random.RandomState(0).randn(40, 1025) * 0.01).astype(np.float32)
+        req = urllib.request.Request('http://127.0.0.1:15104/vocode',
+                                     data=pickle.dumps(spec))
+        wav = pickle.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert wav.dtype == np.float32
+        assert len(wav) == 40 * 256
+
+    def test_empty_text_400(self, servers):
+        try:
+            urllib.request.urlopen('http://127.0.0.1:15103/synth?text=', timeout=60)
+            assert False, 'expected HTTP error'
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+    def test_pipeline_parity_with_reference_chain(self, servers, synth):
+        """The reference chain: POST /synth_spec -> concat -> POST /vocode.
+        Verify wire-format compatibility end to end."""
+        req = urllib.request.Request(
+            'http://127.0.0.1:15105/synth_spec',
+            data=json.dumps({'pinyin': 'da4 jia1 hao3'}).encode(),
+            headers={'Content-Type': 'application/json'})
+        spec = pickle.loads(urllib.request.urlopen(req, timeout=300).read())
+        spec_cat = np.concatenate([spec], axis=0)   # app.py:69 time concat
+        req2 = urllib.request.Request('http://127.0.0.1:15104/vocode',
+                                      data=pickle.dumps(spec_cat))
+        wav = pickle.loads(urllib.request.urlopen(req2, timeout=300).read())
+        assert len(wav) == spec_cat.shape[0] * 256

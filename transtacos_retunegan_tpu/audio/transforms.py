@@ -145,7 +145,18 @@ def get_mel(y: np.ndarray, cfg: AudioConfig, clamp_low: bool = True) -> np.ndarr
 def inv_log_mag(log_mag: np.ndarray, cfg: AudioConfig,
                 length: Optional[int] = None) -> np.ndarray:
     """log-magnitude [F or F-1, T] -> waveform via fast momentum GL
-    (the vocoder's Griffin-Lim reference template; ``retunegan/audio.py:139-147``)."""
+    (the vocoder's Griffin-Lim reference template; ``retunegan/audio.py:139-147``).
+
+    Dispatches to the native C++ engine (``native/libttsdsp.so``) when built;
+    numpy otherwise.
+    """
+    from ..data import native
+    if native.available():
+        y = native.inv_log_mag(log_mag, cfg, length=length)
+        if y is not None:
+            if length:
+                assert len(y) == length
+            return y
     s = np.exp(log_mag)
     if s.shape[0] == cfg.n_freq - 1:
         s = np.concatenate([np.zeros([1, s.shape[1]]), s], axis=0)

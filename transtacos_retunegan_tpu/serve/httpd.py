@@ -1,0 +1,148 @@
+"""Stdlib HTTP services matching the reference endpoint contract.
+
+Three surfaces (flask is not in this image; ThreadingHTTPServer is used):
+
+* port 5103 (WebUI, reference ``app.py``): ``GET /`` demo page,
+  ``GET /synth?text=`` -> wav bytes (text-norm + clause packing + full TTS)
+* port 5105 (acoustic, reference ``transtacos/server.py``): ``GET /``,
+  ``GET /synth?text=`` (internal Griffin-Lim), ``POST /synth_spec``
+  (json {pinyin}) -> pickled float32 spec
+* port 5104 (vocoder, reference ``retunegan/server.py``):
+  ``POST /vocode`` (pickled spec) -> pickled float32 wav
+
+``serve_all`` runs all three endpoint groups in ONE process against one
+``Synthesizer`` -- the pickle/HTTP hops of the reference collapse into
+in-process calls while the wire contract stays drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pickle
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, unquote, urlparse
+
+import numpy as np
+from scipy.io import wavfile
+
+from .pipeline import Synthesizer
+
+INDEX_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>TransTacoS-RetuneGAN (TPU)</title></head>
+<body>
+<h3>TPU-native Mandarin TTS</h3>
+<input id="text" size="60" value="ni3 hao3 shi4 jie4"/>
+<button onclick="synth()">Synthesize</button>
+<div id="status"></div>
+<audio id="player" controls autoplay></audio>
+<script>
+async function synth() {
+  const t = document.getElementById('text').value;
+  document.getElementById('status').innerText = 'synthesizing...';
+  const r = await fetch('/synth?text=' + encodeURIComponent(t));
+  if (!r.ok) { document.getElementById('status').innerText = 'error'; return; }
+  const blob = await r.blob();
+  document.getElementById('player').src = URL.createObjectURL(blob);
+  document.getElementById('status').innerText = 'done';
+}
+</script>
+</body></html>
+"""
+
+
+def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, wav.astype(np.float32))
+    return buf.getvalue()
+
+
+def make_handler(synth: Synthesizer, role: str):
+    """role in {'webui', 'acoustic', 'vocoder', 'all'} gates which routes exist."""
+    sr = synth.cfg.audio.sample_rate
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):   # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _err(self, e: Exception, code: int = 500):
+            self._send(code, json.dumps({'error': repr(e)}).encode(),
+                       'application/json')
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == '/':
+                    self._send(200, INDEX_HTML.encode(), 'text/html; charset=utf-8')
+                elif url.path == '/synth' and role in ('webui', 'acoustic', 'all'):
+                    q = parse_qs(url.query)
+                    txt = unquote(q.get('text', [''])[0]).strip()
+                    if not txt:
+                        return self._send(400, b'{"error": "empty request"}',
+                                          'application/json')
+                    # acoustic role uses internal Griffin-Lim; webui/all use
+                    # the neural vocoder (reference behavior split)
+                    neural = role in ('webui', 'all')
+                    wav = synth.tts(txt, neural=neural)
+                    self._send(200, _wav_bytes(wav, sr), 'audio/wav')
+                elif url.path == '/healthz':
+                    self._send(200, b'ok', 'text/plain')
+                else:
+                    self._send(404, b'not found', 'text/plain')
+            except Exception as e:                       # noqa: BLE001
+                self._err(e)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            length = int(self.headers.get('Content-Length', 0))
+            body = self.rfile.read(length)
+            try:
+                if url.path == '/synth_spec' and role in ('acoustic', 'all'):
+                    payload = json.loads(body)
+                    pinyin = payload['pinyin']
+                    spec = synth.synthesize_spec(pinyin)   # [F, T] ... but the
+                    # reference returns [T, F] (synth.py returns S then the
+                    # server pickles it; app.py concatenates on axis 0 = time)
+                    self._send(200, pickle.dumps(spec.T.astype(np.float32)),
+                               'application/octet-stream')
+                elif url.path == '/vocode' and role in ('vocoder', 'all'):
+                    spec = pickle.loads(body)
+                    wav = synth.vocode(np.asarray(spec, np.float32))
+                    self._send(200, pickle.dumps(wav.astype(np.float32)),
+                               'application/octet-stream')
+                else:
+                    self._send(404, b'not found', 'text/plain')
+            except Exception as e:                       # noqa: BLE001
+                self._err(e)
+
+    return Handler
+
+
+def serve(synth: Synthesizer, role: str, port: int,
+          host: str = '0.0.0.0') -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(synth, role))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
+def serve_all(synth: Optional[Synthesizer] = None, host: str = '0.0.0.0',
+              webui_port: int = 5103, vocoder_port: int = 5104,
+              acoustic_port: int = 5105):
+    """One process, three reference-compatible ports."""
+    synth = synth or Synthesizer()
+    servers = [
+        serve(synth, 'all', webui_port, host),
+        serve(synth, 'vocoder', vocoder_port, host),
+        serve(synth, 'acoustic', acoustic_port, host),
+    ]
+    return servers

@@ -1,0 +1,214 @@
+"""Serving pipeline: text -> syl4 -> mag -> (mel, GL template) -> wav.
+
+Collapses the reference's three-process pickle-over-HTTP chain
+(``app.py`` -> ``transtacos/server.py`` -> ``retunegan/server.py``) into one
+process with jitted stages.  Three call surfaces mirror the reference:
+
+* ``synthesize_spec(pinyin)`` -- natural-scale linear spec with DC restored
+  (acoustic service payload, reference ``transtacos/synth.py:84-87``)
+* ``synthesize_wav(pinyin)``  -- internal 30-iter Griffin-Lim vocoding
+  (reference ``synth.py:80-83``)
+* ``vocode(spec)``            -- neural vocoder on an externally supplied
+  spec (reference ``retunegan/server.py:33-62``)
+* ``tts(text)``               -- the fused end-to-end path (one device
+  round-trip per stage; no pickle hops)
+
+Static-shape bucketing: text length pads to multiples of ``text_bucket`` and
+decode length is fixed at ``max_iters``; each bucket compiles once and is
+cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import dsp, features
+from ..config import Config
+from ..models.acoustic import Tacotron
+from ..models.generators import make_generator
+from ..text import frontend
+from ..train import checkpoint as ckpt
+from ..train.acoustic_step import init_state
+
+
+def _round_up(x: int, m: int) -> int:
+    return x if x % m == 0 else x + m - x % m
+
+
+class Synthesizer:
+    """End-to-end TTS with jitted acoustic, Griffin-Lim and vocoder stages."""
+
+    def __init__(self, cfg: Optional[Config] = None,
+                 acoustic_dir: Optional[str] = None,
+                 vocoder_dir: Optional[str] = None,
+                 kanji_table: Optional[str] = None,
+                 max_iters: Optional[int] = None,
+                 seed: int = 114514):
+        self.cfg = cfg or Config()
+        self.max_iters = max_iters or self.cfg.acoustic.max_iters
+        self._rng = jax.random.PRNGKey(seed)
+        self.kanji2pinyin = frontend.KanjiPinyin(kanji_table)
+
+        # acoustic params
+        dummy = self._dummy_batch()
+        state = init_state(self.cfg, jax.random.PRNGKey(0), dummy)
+        if acoustic_dir:
+            restored = ckpt.restore_acoustic(acoustic_dir, state)
+            if restored is not None:
+                state = restored
+        self.acoustic_params = state.params
+
+        # vocoder params
+        gen = make_generator(self.cfg)
+        fps = self.cfg.audio.frames_per_segment
+        mel0 = jnp.zeros((1, fps, self.cfg.audio.n_mel))
+        tmpl0 = jnp.zeros((1, fps * self.cfg.audio.hop_length, 1))
+        gvars = gen.init({'params': jax.random.PRNGKey(1),
+                          'noise': jax.random.PRNGKey(2)}, mel0, tmpl0,
+                         train=False)
+        self.gen_params = gvars['params']
+        if vocoder_dir:
+            restored = ckpt.restore_generator_params(vocoder_dir, self.gen_params)
+            if restored is not None:
+                self.gen_params = restored
+
+        self._infer_fn = functools.lru_cache(maxsize=16)(self._build_infer)
+        self._vocode_fn = functools.lru_cache(maxsize=32)(self._build_vocode)
+        self._gl_fn = functools.lru_cache(maxsize=32)(self._build_gl)
+
+    # ------------------------------------------------------------------
+    # jitted stage builders (cached per shape bucket)
+    # ------------------------------------------------------------------
+    def _dummy_batch(self) -> Dict[str, jnp.ndarray]:
+        r = self.cfg.acoustic.outputs_per_step
+        t = 4 * r
+        return {
+            'text': jnp.zeros((1, 8, 2), jnp.int32),
+            'text_lengths': jnp.asarray([8]),
+            'prds': jnp.zeros((1, 8), jnp.int32),
+            'spec_lengths': jnp.asarray([t]),
+            'mel_targets': jnp.zeros((1, t, self.cfg.audio.n_mel)),
+            'f0_targets': jnp.zeros((1, t), jnp.int32),
+            'c0_targets': jnp.zeros((1, t), jnp.int32),
+        }
+
+    def _build_infer(self, n_pad: int):
+        cfg, steps = self.cfg, self.max_iters
+
+        @jax.jit
+        def fn(params, text, text_lengths):
+            model = Tacotron(cfg)
+            return model.apply({'params': params}, text, text_lengths,
+                               train=False, max_iters=steps)
+        return fn
+
+    def _build_gl(self, n_frames: int):
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(mag_natural, key):
+            """natural |STFT| [F, T] -> GL wav (acoustic 30-iter flavor)."""
+            y = dsp.griffin_lim(mag_natural ** cfg.audio.gl_power,
+                                cfg.audio.gl_iters_acoustic,
+                                cfg.audio.hop_length, cfg.audio.win_length,
+                                cfg.audio.window_fn, momentum=0.0, key=key)
+            return dsp.inv_preemphasis(y, cfg.audio.preemphasis)
+        return fn
+
+    def _build_vocode(self, n_frames: int):
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(gen_params, mag_natural, key):
+            """natural |STFT| [F, T] -> neural wav (retunegan/server.py:33-62)."""
+            mel = jnp.log(jnp.clip(dsp.mag_to_mel(mag_natural, cfg.audio),
+                                   min=dsp.EPS_AMP))
+            log_mag = jnp.log(jnp.clip(mag_natural, min=dsp.EPS_AMP))
+            # length = hop*T - 1 then pad 1: keeps GL's internal STFT at T
+            # frames (the reference's trick, ``retunegan/server.py:41-43``)
+            wavlen = cfg.audio.hop_length * n_frames
+            tmpl = dsp.inv_log_mag(log_mag, cfg.audio, length=wavlen - 1, key=key)
+            tmpl = jnp.pad(tmpl, (0, 1))
+            gen = make_generator(cfg)
+            wav = gen.apply({'params': gen_params}, mel.T[None],
+                            tmpl[None, :, None], train=False)
+            return wav[0, :, 0]
+        return fn
+
+    # ------------------------------------------------------------------
+    # public surfaces
+    # ------------------------------------------------------------------
+    def _run_acoustic(self, pinyin: str) -> np.ndarray:
+        """pinyin -> normalized mag [T, F-1] trimmed to the stop token."""
+        seq = frontend.serialize_inference(pinyin, self.cfg.acoustic.g2p)
+        n = seq.shape[0]
+        n_pad = _round_up(max(n, 1), self.cfg.acoustic.text_bucket)
+        text = np.zeros((1, n_pad, 2), np.int32)
+        text[0, :n] = seq
+        out = self._infer_fn(n_pad)(self.acoustic_params, jnp.asarray(text),
+                                    jnp.asarray([n]))
+        length = int(out['out_lengths'][0])
+        return np.asarray(out['mag_outputs'][0])[:length]
+
+    def synthesize_spec(self, pinyin: str) -> np.ndarray:
+        """Natural-scale spec [F, T] with DC restored (pickle payload parity)."""
+        mag = self._run_acoustic(pinyin).T                   # [F-1, T]
+        s = dsp.spec_to_natural_scale(jnp.asarray(mag), self.cfg.audio)
+        s = dsp.fix_zero_dc(s, self.cfg.audio)
+        return np.asarray(s)
+
+    def _bucket_spec(self, spec: np.ndarray, bucket: int = 64) -> np.ndarray:
+        """Pad [F, T] to a frame bucket with near-silence so each bucket
+        compiles once; callers trim the wav back to the true length."""
+        t = spec.shape[1]
+        t_pad = _round_up(max(t, bucket), bucket)
+        if t_pad == t:
+            return spec
+        pad = np.full((spec.shape[0], t_pad - t), float(spec.min()),
+                      spec.dtype)
+        return np.concatenate([spec, pad], axis=1)
+
+    def synthesize_wav(self, pinyin: str, trim: bool = True) -> np.ndarray:
+        """Internal Griffin-Lim vocoding (reference ``synth.py:80-83``)."""
+        spec = self.synthesize_spec(pinyin)
+        t_real = spec.shape[1]
+        spec = self._bucket_spec(spec)
+        self._rng, key = jax.random.split(self._rng)
+        wav = np.asarray(self._gl_fn(spec.shape[1])(jnp.asarray(spec), key))
+        wav = wav[:self.cfg.audio.hop_length * t_real]
+        if trim:
+            wav = features.trim_silence(wav, self.cfg.audio)
+        return wav.astype(np.float32)
+
+    def vocode(self, spec: np.ndarray) -> np.ndarray:
+        """Natural-scale spec (either orientation) -> neural wav."""
+        if spec.shape[0] not in (self.cfg.audio.n_freq, self.cfg.audio.n_freq - 1):
+            spec = spec.T                                    # orient to [F, T]
+        spec = np.asarray(dsp.fix_zero_dc(jnp.asarray(spec), self.cfg.audio))
+        t_real = spec.shape[1]
+        spec = self._bucket_spec(spec)
+        self._rng, key = jax.random.split(self._rng)
+        wav = self._vocode_fn(spec.shape[1])(self.gen_params,
+                                             jnp.asarray(spec), key)
+        return np.asarray(wav)[:self.cfg.audio.hop_length * t_real].astype(np.float32)
+
+    def tts(self, text: str, neural: bool = True) -> np.ndarray:
+        """Full text -> wav.  Accepts kanji (with a pinyin provider) or
+        numbered pinyin; clause-splits long inputs like the reference WebUI."""
+        if frontend.looks_like_pinyin(text):
+            segs_pinyin: List[str] = [text.strip().lower()]
+        else:
+            segs = frontend.normalize_text(text)
+            segs_pinyin = [self.kanji2pinyin(s) for s in segs]
+        specs = [self.synthesize_spec(p) for p in segs_pinyin]
+        spec = np.concatenate(specs, axis=1)
+        if neural:
+            return self.vocode(spec)
+        self._rng, key = jax.random.split(self._rng)
+        wav = np.asarray(self._gl_fn(spec.shape[1])(jnp.asarray(spec), key))
+        return features.trim_silence(wav.astype(np.float32), self.cfg.audio)

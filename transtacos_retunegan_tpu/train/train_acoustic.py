@@ -1,0 +1,156 @@
+"""Acoustic model training CLI.
+
+Rebuild of ``transtacos/train.py``: background feeder, jitted train step,
+rolling-window time/loss logging, loss-explosion guard, TensorBoard summaries
+(losses, LR, teacher-forcing ratio, grad norm, alignment/embedding-similarity
+images, Griffin-Lim audio of target vs predicted mag), checkpoint + eval
+artifact dump every interval, hard stop at ``max_steps``.
+
+Usage:
+  python -m transtacos_retunegan_tpu.train.train_acoustic \
+      --data_dir ~/Data/processed --log_path runs/acoustic
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..audio import transforms as T
+from ..config import Config
+from ..data.feeder import AcousticDataset, DataFeeder
+from ..utils.logging import ValueWindow, get_logger
+from ..utils.plotting import plot_alignment, plot_specs
+from . import checkpoint as ckpt
+from .acoustic_step import TrainState, init_state, train_step
+
+
+def train(args) -> None:
+    cfg = Config.load(args.config) if args.config else Config()
+    os.makedirs(args.log_path, exist_ok=True)
+    cfg.save(args.log_path)
+    logger = get_logger('acoustic', os.path.join(args.log_path, 'train.log'))
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        sw = SummaryWriter(args.log_path)
+    except Exception:
+        sw = None
+
+    dataset = AcousticDataset(args.data_dir, cfg, 'train')
+    logger.info(f'dataset: {len(dataset)} examples')
+    feeder = DataFeeder(dataset, cfg)
+    feeder.start()
+
+    rng = jax.random.PRNGKey(cfg.audio.randseed)
+    first = feeder.get_batch()
+    state = init_state(cfg, rng, first)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logger.info(f'model params: {n_params:,}')
+
+    restored = ckpt.restore_acoustic(args.log_path, state)
+    if restored is not None:
+        state = restored
+        logger.info(f'resumed from step {int(state.step)}')
+
+    time_window, loss_window = ValueWindow(100), ValueWindow(100)
+    max_steps = args.max_steps or cfg.acoustic.max_steps
+
+    while int(state.step) < max_steps:
+        start = time.time()
+        batch = first if first is not None else feeder.get_batch()
+        first = None
+        rng, sub = jax.random.split(rng)
+        state, losses = train_step(cfg, state, batch, sub)
+        step = int(state.step)
+        loss = float(losses['loss'])
+        time_window.append(time.time() - start)
+        loss_window.append(loss)
+
+        if step % args.log_interval == 0:
+            logger.info(
+                f'step {step} [{time_window.average:.3f} s/step, '
+                f'loss {loss:.4f}, avg {loss_window.average:.4f}, '
+                f"mel {float(losses['mel_loss']):.4f} mag {float(losses['mag_loss']):.4f} "
+                f"stop {float(losses['stop_token_loss']):.4f} "
+                f"tfr {float(losses['tfr']):.3f}]")
+
+        # loss-explosion guard (reference ``train.py:89-91``)
+        if loss > 300 or not np.isfinite(loss):
+            logger.error(f'loss exploded to {loss} at step {step}, aborting')
+            feeder.stop()
+            raise SystemExit(1)
+
+        if sw is not None and step % args.summary_interval == 0:
+            for k, v in losses.items():
+                sw.add_scalar(f'train/{k}', float(v), step)
+
+        if step % args.checkpoint_interval == 0:
+            path = ckpt.save_acoustic(args.log_path, state)
+            logger.info(f'saved checkpoint {path}')
+            _dump_eval(cfg, state, batch, args.log_path, step, logger, sw)
+
+    feeder.stop()
+    logger.info(f'training complete at step {int(state.step)}')
+
+
+def _dump_eval(cfg, state: TrainState, batch, log_path, step, logger, sw):
+    """Eval artifacts: GL wavs of target/predicted mag, alignment + spec PNGs
+    (reference ``transtacos/train.py:97-127``, ``tacotron.py:296-313``)."""
+    from ..audio import features as F
+    from ..models.acoustic import Tacotron
+
+    model = Tacotron(cfg)
+    out = model.apply({'params': state.params}, batch['text'],
+                      batch['text_lengths'], batch['prds'],
+                      batch['spec_lengths'], batch['mel_targets'],
+                      batch['f0_targets'], batch['c0_targets'], 1.0,
+                      train=True,
+                      rngs={'noise': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1),
+                            'tf': jax.random.PRNGKey(2)})
+    mag_t = np.asarray(batch['mag_targets'][0]).T     # [F-1, T]
+    mag_p = np.asarray(out['mag_outputs'][0]).T
+    try:
+        wav_t = T.inv_spec(mag_t, cfg.audio)
+        wav_p = T.inv_spec(mag_p, cfg.audio)
+        F.save_wav(wav_t, os.path.join(log_path, f'step-{step}-raw.wav'), cfg.audio)
+        F.save_wav(wav_p, os.path.join(log_path, f'step-{step}-gen.wav'), cfg.audio)
+        if sw is not None:
+            sw.add_audio('raw', wav_t[None] / max(1e-5, np.abs(wav_t).max()),
+                         step, cfg.audio.sample_rate)
+            sw.add_audio('gen', wav_p[None] / max(1e-5, np.abs(wav_p).max()),
+                         step, cfg.audio.sample_rate)
+    except Exception as e:  # GL on garbage early specs can overflow
+        logger.info(f'eval audio dump skipped: {e!r}')
+    align = np.asarray(out['alignments'][0])
+    plot_alignment(align, os.path.join(log_path, f'step-{step}-align.png'),
+                   info=f'step={step}')
+    plot_specs([mag_t, mag_p,
+                np.asarray(batch['mel_targets'][0]).T,
+                np.asarray(out['mel_outputs'][0]).T],
+               os.path.join(log_path, f'step-{step}-specs.png'),
+               titles=['mag target', 'mag pred', 'mel target', 'mel pred'])
+    if sw is not None:
+        sw.add_image('alignment', align[None], step)
+        sw.add_image('E_text_sim', np.asarray(out['E_text_sim'])[None], step)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--data_dir', required=True)
+    p.add_argument('--log_path', required=True)
+    p.add_argument('--config', default=None)
+    p.add_argument('--max_steps', type=int, default=None)
+    p.add_argument('--log_interval', type=int, default=10)
+    p.add_argument('--summary_interval', type=int, default=500)
+    p.add_argument('--checkpoint_interval', type=int, default=1000)
+    train(p.parse_args())
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,158 @@
+"""Vocoder GAN training CLI.
+
+Rebuild of ``retunegan/train.py``: threaded loader over the RAM-cached
+dataset, jitted GAN step (D x2 then G), per-10-step loss breakdown with
+explosion guard, TB scalars, g_/do_ checkpoints, validation loop with audio
+and spectrogram dumps every interval.  ``--finetune`` consumes the acoustic
+preprocessor's features (the cross-stack contract).
+
+Usage:
+  python -m transtacos_retunegan_tpu.train.train_vocoder \
+      --data_dir ~/Data/processed --log_path runs/vocoder --finetune
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..audio import transforms as T
+from ..config import Config
+from ..data.vocoder_data import VocoderDataset, VocoderLoader
+from ..utils.logging import get_logger
+from ..utils.plotting import spectrogram_figure
+from . import checkpoint as ckpt
+from .vocoder_step import (gan_eval_step, gan_train_step, init_gan_state)
+
+
+def train(args) -> None:
+    cfg = Config.load(args.config) if args.config else Config()
+    hv = cfg.vocoder
+    os.makedirs(args.log_path, exist_ok=True)
+    cfg.save(args.log_path)       # frozen config snapshot (reference train.py:37)
+    logger = get_logger('vocoder', os.path.join(args.log_path, 'rtg.log'))
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        sw = SummaryWriter(args.log_path)
+    except Exception:
+        sw = None
+
+    trainset = VocoderDataset('train', args.data_dir, cfg, finetune=args.finetune)
+    validset = VocoderDataset('test', args.data_dir, cfg, finetune=args.finetune,
+                              limit=hv.valid_limit)
+    logger.info(f'dataset: {len(trainset)} train / {len(validset)} valid')
+    loader = VocoderLoader(trainset, hv.batch_size, shuffle=True,
+                           num_workers=hv.num_workers)
+    steps_per_epoch = max(1, len(loader))
+
+    rng = jax.random.PRNGKey(cfg.audio.randseed)
+    first_batch = next(iter(VocoderLoader(trainset, hv.batch_size,
+                                          shuffle=False, num_workers=1)))
+    state = init_gan_state(cfg, rng, first_batch, steps_per_epoch)
+    n_g = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.gen_params))
+    n_d = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.disc_params))
+    logger.info(f'generator {hv.generator_ver}: {n_g:,} params; discs: {n_d:,}')
+
+    restored, last_epoch = ckpt.restore_gan(args.log_path, state)
+    if restored is not None:
+        state = restored
+        logger.info(f'resumed from step {int(state.step)} epoch {last_epoch}')
+
+    for epoch in range(max(0, last_epoch), args.epochs):
+        start_e = time.time()
+        logger.info(f'>> Epoch {epoch + 1}')
+        for batch in loader:
+            start_b = time.time()
+            rng, sub = jax.random.split(rng)
+            state, m = gan_train_step(cfg, state, batch, sub, steps_per_epoch)
+            step = int(state.step)
+
+            if step % args.stdout_interval == 0:
+                g = float(m['loss_gen_all'])
+                logger.info(
+                    f'[{step} ({time.time() - start_b:.2f} s/b)]\n'
+                    f"  total gen: {g:.3f}, g_s: {float(m['loss_gen_s']):.3f}, "
+                    f"g_p: {float(m['loss_gen_p']):.3f}, g_t: {float(m['loss_gen_t']):.3f}, "
+                    f"fm_s: {float(m['loss_fm_s']) * hv.w_loss_fm:.3f}, "
+                    f"fm_p: {float(m['loss_fm_p']) * hv.w_loss_fm:.3f}, "
+                    f"fm_t: {float(m['loss_fm_t']) * hv.w_loss_fm:.3f}, "
+                    f"mstft: {float(m['loss_mstft']) * hv.w_loss_mstft:.3f}, "
+                    f"dyn: {float(m['loss_dyn']) * hv.w_loss_dyn:.3f}\n"
+                    f"  total disc: {float(m['loss_disc_all']):.3f}, "
+                    f"d_s: {float(m['loss_disc_s']):.3f}, "
+                    f"d_p: {float(m['loss_disc_p']):.3f}, "
+                    f"d_t: {float(m['loss_disc_t']):.3f}\n"
+                    f"  d-scores >> sc_s_r: {float(m['sc_s_r']):.3f}, "
+                    f"sc_s_g: {float(m['sc_s_g']):.3f}, "
+                    f"sc_p_r: {float(m['sc_p_r']):.3f}, sc_p_g: {float(m['sc_p_g']):.3f}, "
+                    f"sc_t_r: {float(m['sc_t_r']):.3f}, sc_t_g: {float(m['sc_t_g']):.3f}")
+                if not np.isfinite(g) or g > 1e5:
+                    logger.error('loss exploded, aborting')
+                    raise SystemExit(1)
+
+            if sw is not None and step % args.summary_interval == 0:
+                for k, v in m.items():
+                    sw.add_scalar(f'train/{k}', float(v), step)
+
+            if step % args.checkpoint_interval == 0:
+                paths = ckpt.save_gan(args.log_path, state, epoch)
+                logger.info(f'saved {paths}')
+
+            if step % args.validation_interval == 0:
+                _validate(cfg, state, validset, step, logger, sw)
+
+        logger.info(f'<< Epoch {epoch + 1} took {time.time() - start_e:.2f}s')
+
+
+def _validate(cfg, state, validset, step, logger, sw):
+    """Held-out metrics + sample audio dumps (reference ``train.py:275-322``)."""
+    agg = {'loss_mstft': 0.0, 'loss_env': 0.0, 'loss_dyn': 0.0, 'loss_sm': 0.0}
+    count = 0
+    for j in range(len(validset)):
+        item = validset[j]
+        batch = {k: v[None] for k, v in item.items()}
+        y_g, metrics = gan_eval_step(cfg, state.gen_params, batch)
+        for k in agg:
+            agg[k] += float(metrics[k])
+        count += 1
+        if sw is not None and j < 4:
+            wav = np.asarray(y_g[0])
+            mel = T.get_mel(wav, cfg.audio)
+            sw.add_audio(f'gen/y_hat_{j}',
+                         wav[None] / max(1e-5, np.abs(wav).max()), step,
+                         cfg.audio.sample_rate)
+            sw.add_figure(f'gen/y_hat_spec_{j}', spectrogram_figure(mel), step)
+            if step == 0:
+                raw = item['wav']
+                sw.add_audio(f'raw/y_{j}',
+                             raw[None] / max(1e-5, np.abs(raw).max()), step,
+                             cfg.audio.sample_rate)
+    if count:
+        msg = ', '.join(f'{k}: {v / count:.4f}' for k, v in agg.items())
+        logger.info(f'  valid >> {msg}')
+        if sw is not None:
+            for k, v in agg.items():
+                sw.add_scalar(f'valid/{k}', v / count, step)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--data_dir', required=True)
+    p.add_argument('--log_path', default='rtg-logs')
+    p.add_argument('--config', default=None)
+    p.add_argument('--finetune', action='store_true', default=False)
+    p.add_argument('--epochs', type=int, default=100)
+    p.add_argument('--stdout_interval', type=int, default=10)
+    p.add_argument('--summary_interval', type=int, default=250)
+    p.add_argument('--validation_interval', type=int, default=1000)
+    p.add_argument('--checkpoint_interval', type=int, default=1000)
+    train(p.parse_args())
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,67 @@
+"""File+stdout logging, rolling windows, timers.
+
+Reference: ``transtacos/utils.py:14-38,72-94`` and ``retunegan/utils.py:85-92``.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+
+def get_logger(name: str, log_path: Optional[str] = None) -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+    if not logger.handlers:
+        fmt = logging.Formatter('%(asctime)s %(message)s', '%H:%M:%S')
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if log_path:
+            os.makedirs(os.path.dirname(log_path) or '.', exist_ok=True)
+            fh = logging.FileHandler(log_path, 'a', encoding='utf-8')
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    return logger
+
+
+class ValueWindow:
+    """Rolling average window (reference ``transtacos/utils.py:72-94``)."""
+
+    def __init__(self, window_size: int = 100):
+        self._size = window_size
+        self._values = []
+
+    def append(self, x: float):
+        self._values = self._values[-(self._size - 1):] + [float(x)]
+
+    @property
+    def sum(self) -> float:
+        return sum(self._values)
+
+    @property
+    def count(self) -> int:
+        return len(self._values)
+
+    @property
+    def average(self) -> float:
+        return self.sum / max(1, self.count)
+
+    def reset(self):
+        self._values = []
+
+
+def timer(fn):
+    """Wall-time decorator (reference ``retunegan/utils.py:85-92``)."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        start = time.time()
+        out = fn(*args, **kwargs)
+        print(f'[timer] {fn.__name__} took {time.time() - start:.3f}s')
+        return out
+    return wrapped
