@@ -14,12 +14,21 @@ Prints ONE JSON line; baseline is the driver's north-star RTF <= 0.05
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+# Persistent compilation cache: this environment compiles through a remote
+# tunnel (~2 min per program), so cache XLA executables across runs.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _CACHE_DIR)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 
 def main():

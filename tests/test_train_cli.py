@@ -1,0 +1,102 @@
+"""Smoke tests for the training CLIs on a synthetic corpus (tiny configs)."""
+
+import dataclasses
+import os
+import types
+
+import numpy as np
+import pytest
+
+from transtacos_retunegan_tpu.audio import features as F
+from transtacos_retunegan_tpu.config import Config
+from transtacos_retunegan_tpu.data import preprocess as P
+
+PINYINS = ['ni3 hao3 shi4 jie4', 'zhong1 guo2 ren2', 'wo3 men5 de5 jia1',
+           'tian1 qi4 zhen1 hao3', 'xie4 xie4 da4 jia1', 'zai4 jian4 peng2 you3']
+
+
+def tiny_cfg(batch_size=2):
+    cfg = Config()
+    return dataclasses.replace(
+        cfg,
+        acoustic=dataclasses.replace(
+            cfg.acoustic, embed_depth=32, encoder_depth=32, decoder_depth=64,
+            attention_depth=16, prenet_depths=(32,), posnet_depth=64,
+            var_embed_depth=16, var_prednet_depth=16, prdsnet_depth=16,
+            posenc_depth=8, batch_size=batch_size, frame_bucket=40),
+        vocoder=dataclasses.replace(
+            cfg.vocoder, upsample_initial_channel=32, batch_size=batch_size,
+            num_workers=1, d_train_times=1,
+            multi_stft_params=((512, 256, 60),)),
+    )
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    base = tmp_path_factory.mktemp('cli_corpus')
+    wav_dp = base / 'wavs'
+    wav_dp.mkdir()
+    rng = np.random.RandomState(0)
+    cfg = Config()
+    rows = []
+    for i, py in enumerate(PINYINS):
+        dur = 22050 // 2 + i * 1500
+        t = np.arange(dur) / 22050
+        y = (0.4 * np.sin(2 * np.pi * (150 + 20 * i) * t)
+             + 0.01 * rng.randn(dur)).astype(np.float32)
+        name = f'utt{i:03d}'
+        F.save_wav(y, str(wav_dp / f'{name}.wav'), cfg.audio)
+        n_syl = len(py.split(' '))
+        rows.append(f'{name}|{py}|{"0" * (n_syl - 1)}4')
+    meta = base / 'metadata.csv'
+    meta.write_text('\n'.join(rows), encoding='utf-8')
+    P.preprocess_generic(str(base), 'processed', str(meta), wav_dir='wavs',
+                         num_workers=1)
+    return str(base / 'processed')
+
+
+class TestAcousticCLI:
+    def test_two_steps_and_checkpoint(self, corpus, tmp_path, monkeypatch):
+        from transtacos_retunegan_tpu.train import train_acoustic
+        cfg = tiny_cfg()
+        cfg_path = cfg.save(str(tmp_path / 'cfgdir'))
+        args = types.SimpleNamespace(
+            data_dir=corpus, log_path=str(tmp_path / 'run'), config=cfg_path,
+            max_steps=2, log_interval=1, summary_interval=1,
+            checkpoint_interval=2, debug_nans=False, profile_dir=None,
+            profile_start=0, profile_steps=0)
+        train_acoustic.train(args)
+        files = os.listdir(tmp_path / 'run')
+        assert any(f.startswith('ckpt_') for f in files)
+        assert 'config.json' in files
+        assert any(f.endswith('-align.png') for f in files)
+        assert 'train.log' in files
+
+    def test_resume(self, corpus, tmp_path):
+        from transtacos_retunegan_tpu.train import train_acoustic
+        cfg = tiny_cfg()
+        cfg_path = cfg.save(str(tmp_path / 'cfgdir'))
+        args = types.SimpleNamespace(
+            data_dir=corpus, log_path=str(tmp_path / 'run'), config=cfg_path,
+            max_steps=2, log_interval=1, summary_interval=10,
+            checkpoint_interval=2, debug_nans=False, profile_dir=None,
+            profile_start=0, profile_steps=0)
+        train_acoustic.train(args)
+        # second invocation resumes at step 2 and exits immediately
+        train_acoustic.train(args)
+
+
+class TestVocoderCLI:
+    def test_one_epoch(self, corpus, tmp_path):
+        from transtacos_retunegan_tpu.train import train_vocoder
+        cfg = tiny_cfg()
+        cfg_path = cfg.save(str(tmp_path / 'cfgdir'))
+        args = types.SimpleNamespace(
+            data_dir=corpus, log_path=str(tmp_path / 'run'), config=cfg_path,
+            finetune=True, epochs=1, stdout_interval=1, summary_interval=100,
+            validation_interval=100, checkpoint_interval=2, debug_nans=False)
+        train_vocoder.train(args)
+        files = os.listdir(tmp_path / 'run')
+        assert any(f.startswith('g_') for f in files)
+        assert any(f.startswith('do_') for f in files)
+        assert 'rtg.log' in files

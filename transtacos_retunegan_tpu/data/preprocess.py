@@ -168,6 +168,44 @@ def preprocess_databaker(base_dir: str, out_dir: str, num_workers: int = 4,
     return _run(labels, wav_dp, out_dp, num_workers, cfg)
 
 
+def parse_thchs30_labels(data_dp: str) -> Dict[str, Tuple[str, str]]:
+    """THCHS-30 `.wav.trn` sidecar files -> {name: (pinyin, zero-prosody)}.
+
+    The reference's thchs30 preprocessor is marked broken
+    (``datasets/thchs30.py:10`` returns the wrong metadata tuple shape); this
+    is the working equivalent producing the standard contract.  THCHS-30 has
+    no prosody labels, so every syllable gets mark 0 (word-internal).
+    """
+    r = {}
+    for fn in sorted(os.listdir(data_dp)):
+        if not fn.endswith('.wav'):
+            continue
+        trn = os.path.join(data_dp, fn + '.trn')
+        if not os.path.exists(trn):
+            continue
+        with open(trn, encoding='utf-8') as fh:
+            fh.readline()                     # kanji line
+            pinyin = fh.readline().strip().lower()
+        if not pinyin:
+            continue
+        name = os.path.splitext(fn)[0]
+        r[name] = (pinyin, '0' * len(pinyin.split(' ')))
+    return r
+
+
+def preprocess_thchs30(base_dir: str, out_dir: str, num_workers: int = 4,
+                       cfg: Optional[Config] = None) -> Dict:
+    cfg = cfg or Config()
+    in_dir = os.path.join(base_dir, 'thchs30')
+    if not os.path.exists(in_dir):
+        in_dir = os.path.join(base_dir, 'data_thchs30')
+    wav_dp = os.path.join(in_dir, 'data')
+    out_dp = os.path.join(base_dir, out_dir)
+    os.makedirs(out_dp, exist_ok=True)
+    labels = parse_thchs30_labels(wav_dp)
+    return _run(labels, wav_dp, out_dp, num_workers, cfg)
+
+
 def preprocess_generic(base_dir: str, out_dir: str, metadata_csv: str,
                        wav_dir: str = 'wavs', num_workers: int = 4,
                        cfg: Optional[Config] = None) -> Dict:
@@ -217,7 +255,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--base_dir', required=True)
     p.add_argument('--dataset', default='databaker',
-                   choices=['databaker', 'generic'])
+                   choices=['databaker', 'thchs30', 'generic'])
     p.add_argument('--out_dir', default='processed')
     p.add_argument('--metadata_csv', default=None,
                    help='for --dataset generic: name|pinyin|prds rows')
@@ -226,6 +264,8 @@ def main():
     args = p.parse_args()
     if args.dataset == 'databaker':
         stats = preprocess_databaker(args.base_dir, args.out_dir, args.num_workers)
+    elif args.dataset == 'thchs30':
+        stats = preprocess_thchs30(args.base_dir, args.out_dir, args.num_workers)
     else:
         stats = preprocess_generic(args.base_dir, args.out_dir,
                                    args.metadata_csv, args.wav_dir,

@@ -31,6 +31,10 @@ from .acoustic_step import TrainState, init_state, train_step
 
 def train(args) -> None:
     cfg = Config.load(args.config) if args.config else Config()
+    if args.debug_nans:
+        # jitted NaN detection (the analogue of the reference's
+        # torch.autograd.set_detect_anomaly, ``retunegan/train.py:31``)
+        jax.config.update('jax_debug_nans', True)
     os.makedirs(args.log_path, exist_ok=True)
     cfg.save(args.log_path)
     logger = get_logger('acoustic', os.path.join(args.log_path, 'train.log'))
@@ -60,7 +64,17 @@ def train(args) -> None:
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     max_steps = args.max_steps or cfg.acoustic.max_steps
 
+    profiling = False
     while int(state.step) < max_steps:
+        # XLA-level profiler window (view with tensorboard/xprof); replaces
+        # the reference's env-level --xla_hlo_profile (``train.py:22-23``)
+        if args.profile_dir and int(state.step) == args.profile_start:
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
+        if profiling and int(state.step) >= args.profile_start + args.profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info(f'wrote profiler trace to {args.profile_dir}')
         start = time.time()
         batch = first if first is not None else feeder.get_batch()
         first = None
@@ -149,6 +163,10 @@ def main():
     p.add_argument('--log_interval', type=int, default=10)
     p.add_argument('--summary_interval', type=int, default=500)
     p.add_argument('--checkpoint_interval', type=int, default=1000)
+    p.add_argument('--debug_nans', action='store_true', default=False)
+    p.add_argument('--profile_dir', default=None)
+    p.add_argument('--profile_start', type=int, default=20)
+    p.add_argument('--profile_steps', type=int, default=10)
     train(p.parse_args())
 
 

@@ -31,6 +31,8 @@ from .vocoder_step import (gan_eval_step, gan_train_step, init_gan_state)
 
 def train(args) -> None:
     cfg = Config.load(args.config) if args.config else Config()
+    if args.debug_nans:
+        jax.config.update('jax_debug_nans', True)
     hv = cfg.vocoder
     os.makedirs(args.log_path, exist_ok=True)
     cfg.save(args.log_path)       # frozen config snapshot (reference train.py:37)
@@ -151,6 +153,7 @@ def main():
     p.add_argument('--summary_interval', type=int, default=250)
     p.add_argument('--validation_interval', type=int, default=1000)
     p.add_argument('--checkpoint_interval', type=int, default=1000)
+    p.add_argument('--debug_nans', action='store_true', default=False)
     train(p.parse_args())
 
 
