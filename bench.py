@@ -63,12 +63,15 @@ def main():
         'f0_targets': jnp.zeros((1, 4 * r), jnp.int32),
         'c0_targets': jnp.zeros((1, 4 * r), jnp.int32),
     }
+    t_init = time.time()
     ac_params = init_state(cfg, jax.random.PRNGKey(0), dummy).params
     gen = make_generator(cfg)
-    gen_params = gen.init(
-        {'params': jax.random.PRNGKey(1), 'noise': jax.random.PRNGKey(2)},
-        jnp.zeros((1, t_frames, au.n_mel)),
-        jnp.zeros((1, t_frames * au.hop_length, 1)), train=False)['params']
+    gen_init = jax.jit(lambda r1, r2, m, t: gen.init(
+        {'params': r1, 'noise': r2}, m, t, train=False))
+    gen_params = gen_init(jax.random.PRNGKey(1), jax.random.PRNGKey(2),
+                          jnp.zeros((1, t_frames, au.n_mel)),
+                          jnp.zeros((1, t_frames * au.hop_length, 1)))['params']
+    print(f'# init {time.time() - t_init:.1f}s', file=sys.stderr)
 
     @jax.jit
     def acoustic(params, text, lens):
@@ -92,22 +95,23 @@ def main():
 
     key = jax.random.PRNGKey(3)
 
-    # warmup / compile
+    # warmup / compile; NOTE: materialize to host each rep -- on this
+    # tunneled backend block_until_ready alone does not guarantee completion
     mag = acoustic(ac_params, text_j, lens_j)
     wav = vocode(gen_params, mag, key)
-    wav.block_until_ready()
+    float(jnp.sum(wav))
 
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
         mag = acoustic(ac_params, text_j, lens_j)
-        mag.block_until_ready()
+        float(jnp.sum(mag))
     t_ac = (time.perf_counter() - t0) / n_rep
 
     t0 = time.perf_counter()
     for _ in range(n_rep):
         wav = vocode(gen_params, mag, key)
-        wav.block_until_ready()
+        float(jnp.sum(wav))
     t_vo = (time.perf_counter() - t0) / n_rep
 
     rtf = (t_ac + t_vo) / audio_seconds

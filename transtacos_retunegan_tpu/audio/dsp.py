@@ -105,21 +105,25 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def stft_ri(y: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
-            window: str = 'hann') -> RI:
+            window: str = 'hann',
+            precision=jax.lax.Precision.HIGHEST) -> RI:
     """STFT as (real, imag) pair: ``[..., T] -> 2 x [..., n_fft//2+1, n_frames]``.
 
     Matches ``librosa.stft``/``torch.stft`` (center=True, reflect pad,
     one-sided, unnormalized).  Reference: ``transtacos/audio.py:143-144``,
     ``retunegan/audio.py:161-163``.
+
+    Default HIGHEST precision: the TPU MXU's single-pass bf16 is too coarse
+    for a 2048-tap DFT where analysis parity matters (~1e-4 relative with
+    3-pass f32).  Pass ``Precision.DEFAULT`` on rough paths (e.g. the 4-iter
+    Griffin-Lim template) for ~3x MXU throughput.
     """
     cmat, smat = _dft_mats(n_fft, win_length, window)
     frames = frame_signal(y, n_fft, hop_length)
-    # HIGHEST precision: the TPU MXU's default bf16 pass is too coarse for a
-    # 2048-tap DFT; 3-pass f32 keeps spectra at ~1e-4 relative error.
     re = jnp.einsum('...tn,nk->...kt', frames, jnp.asarray(cmat),
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     im = jnp.einsum('...tn,nk->...kt', frames, jnp.asarray(smat),
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     return re, im
 
 
@@ -143,7 +147,8 @@ def _ola_norm(n_frames: int, n_fft: int, hop_length: int, win_length: int,
 
 
 def istft_ri(re: jnp.ndarray, im: jnp.ndarray, hop_length: int, win_length: int,
-             window: str = 'hann', length: Optional[int] = None) -> jnp.ndarray:
+             window: str = 'hann', length: Optional[int] = None,
+             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Inverse STFT ``[..., F, n_frames] x2 -> [..., T]`` (librosa semantics).
 
     Applies the synthesis window, overlap-adds, divides by the window-square
@@ -154,9 +159,9 @@ def istft_ri(re: jnp.ndarray, im: jnp.ndarray, hop_length: int, win_length: int,
     nf = re.shape[-1]
     icos, isin = _idft_mats(n_fft, win_length, window)
     frames = (jnp.einsum('...kt,kn->...tn', re, jnp.asarray(icos),
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=precision)
               + jnp.einsum('...kt,kn->...tn', im, jnp.asarray(isin),
-                           precision=jax.lax.Precision.HIGHEST))
+                           precision=precision))
 
     # hop-aligned overlap-add: pad frames to m blocks of hop samples, then
     # accumulate block j of frame i at block row i+j (static slice adds).
@@ -189,7 +194,8 @@ def istft_ri(re: jnp.ndarray, im: jnp.ndarray, hop_length: int, win_length: int,
 def griffin_lim(mag: jnp.ndarray, n_iter: int, hop_length: int, win_length: int,
                 window: str = 'hann', momentum: float = 0.0,
                 length: Optional[int] = None,
-                key: Optional[jax.Array] = None) -> jnp.ndarray:
+                key: Optional[jax.Array] = None,
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Phase reconstruction from magnitude ``[..., F, n_frames] -> [..., T]``.
 
     ``momentum=0`` reproduces the acoustic-side plain alternating projection
@@ -208,8 +214,10 @@ def griffin_lim(mag: jnp.ndarray, n_iter: int, hop_length: int, win_length: int,
 
     def body(_, carry):
         pr, pi, tr, ti = carry
-        y = istft_ri(mag * pr, mag * pi, hop_length, win_length, window, length)
-        rr, ri = stft_ri(y, n_fft, hop_length, win_length, window)
+        y = istft_ri(mag * pr, mag * pi, hop_length, win_length, window, length,
+                     precision=precision)
+        rr, ri = stft_ri(y, n_fft, hop_length, win_length, window,
+                         precision=precision)
         ur = rr - alpha * tr
         ui = ri - alpha * ti
         inv = 1.0 / (jnp.sqrt(ur * ur + ui * ui) + 1e-16)
@@ -217,7 +225,8 @@ def griffin_lim(mag: jnp.ndarray, n_iter: int, hop_length: int, win_length: int,
 
     zero = jnp.zeros_like(mag)
     pr, pi, _, _ = jax.lax.fori_loop(0, n_iter, body, (pr, pi, zero, zero))
-    return istft_ri(mag * pr, mag * pi, hop_length, win_length, window, length)
+    return istft_ri(mag * pr, mag * pi, hop_length, win_length, window, length,
+                    precision=precision)
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +372,8 @@ def inv_log_mag(log_mag: jnp.ndarray, cfg: AudioConfig,
 
     Reference ``retunegan/audio.py:139-147`` (``inv_mag``): exp, re-prepend a
     *zero* DC row if dropped, power-law, momentum GL with length constraint.
+    The template is a deliberately rough phase estimate, so the DFT matmuls
+    run at DEFAULT (bf16 MXU) precision -- ~3x faster, inaudible here.
     """
     s = jnp.exp(log_mag)
     if s.shape[-2] == cfg.n_freq - 1:
@@ -370,7 +381,8 @@ def inv_log_mag(log_mag: jnp.ndarray, cfg: AudioConfig,
         s = jnp.concatenate([zeros, s], axis=-2)
     return griffin_lim(s ** cfg.gl_power, cfg.gl_iters_vocoder, cfg.hop_length,
                        cfg.win_length, cfg.window_fn, momentum=cfg.gl_momentum,
-                       length=length, key=key)
+                       length=length, key=key,
+                       precision=jax.lax.Precision.DEFAULT)
 
 
 def stft_mag_mel_phase(y: jnp.ndarray, cfg: AudioConfig, n_fft: int,

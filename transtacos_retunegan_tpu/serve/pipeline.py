@@ -63,14 +63,14 @@ class Synthesizer:
                 state = restored
         self.acoustic_params = state.params
 
-        # vocoder params
+        # vocoder params (jitted init; see acoustic_step.init_state)
         gen = make_generator(self.cfg)
         fps = self.cfg.audio.frames_per_segment
         mel0 = jnp.zeros((1, fps, self.cfg.audio.n_mel))
         tmpl0 = jnp.zeros((1, fps * self.cfg.audio.hop_length, 1))
-        gvars = gen.init({'params': jax.random.PRNGKey(1),
-                          'noise': jax.random.PRNGKey(2)}, mel0, tmpl0,
-                         train=False)
+        gvars = jax.jit(lambda m, t: gen.init(
+            {'params': jax.random.PRNGKey(1),
+             'noise': jax.random.PRNGKey(2)}, m, t, train=False))(mel0, tmpl0)
         self.gen_params = gvars['params']
         if vocoder_dir:
             restored = ckpt.restore_generator_params(vocoder_dir, self.gen_params)

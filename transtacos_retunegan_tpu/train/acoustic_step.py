@@ -37,14 +37,24 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def init_state(cfg: Config, rng: jax.Array, batch: Dict[str, Any]) -> TrainState:
     model = Tacotron(cfg)
-    tfr = jnp.asarray(1.0)
-    params = model.init(
-        {'params': rng, 'noise': jax.random.fold_in(rng, 1),
-         'dropout': jax.random.fold_in(rng, 2), 'tf': jax.random.fold_in(rng, 3)},
-        batch['text'], batch['text_lengths'], batch['prds'],
-        batch['spec_lengths'], batch['mel_targets'], batch['f0_targets'],
-        batch['c0_targets'], tfr, train=True)['params']
-    opt_state = make_optimizer(cfg).init(params)
+
+    # jit the init: eager init dispatches thousands of individual ops, which
+    # is pathological over a remote-dispatch TPU tunnel
+    @jax.jit
+    def _init(rng, text, text_lengths, prds, spec_lengths, mel, f0, c0):
+        variables = model.init(
+            {'params': rng, 'noise': jax.random.fold_in(rng, 1),
+             'dropout': jax.random.fold_in(rng, 2),
+             'tf': jax.random.fold_in(rng, 3)},
+            text, text_lengths, prds, spec_lengths, mel, f0, c0,
+            jnp.asarray(1.0), train=True)
+        params = variables['params']
+        return params, make_optimizer(cfg).init(params)
+
+    params, opt_state = _init(rng, batch['text'], batch['text_lengths'],
+                              batch['prds'], batch['spec_lengths'],
+                              batch['mel_targets'], batch['f0_targets'],
+                              batch['c0_targets'])
     return TrainState(jnp.asarray(0, jnp.int32), params, opt_state)
 
 

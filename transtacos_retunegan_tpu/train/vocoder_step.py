@@ -77,26 +77,36 @@ def _disc_forward(cfg: Config, dparams, y, y_hat, specs_r, specs_g):
 def init_gan_state(cfg: Config, rng: jax.Array, batch: Dict[str, Any],
                    steps_per_epoch: int = 568) -> GANState:
     gen = make_generator(cfg)
-    rngs = {'params': rng, 'noise': jax.random.fold_in(rng, 7)}
-    if cfg.vocoder.split_cv:
-        gvars = gen.init(rngs, batch['mel_c'], batch['mel_v'],
-                         batch['tmpl_c'][..., None], batch['tmpl_v'][..., None],
-                         batch['uv'][..., None], train=True)
-    else:
-        gvars = gen.init(rngs, batch['mel'], batch['tmpl'][..., None], train=True)
-    gen_params = gvars['params']
-
-    y = batch['wav']
-    _, specs_r, specs_g = L.multi_stft_specs_and_loss(y, y, cfg)
-    k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, 11), 3)
-    disc_params = {
-        'msd': MultiScaleDiscriminator(cfg).init(k1, y[..., None], y[..., None])['params'],
-        'mpd': MultiPeriodDiscriminator(cfg).init(k2, y[..., None], y[..., None])['params'],
-        'mtd': MultiStftDiscriminator(cfg).init(k3, specs_r, specs_g)['params'],
-    }
     gopt, dopt = make_optimizers(cfg, steps_per_epoch)
-    return GANState(jnp.asarray(0, jnp.int32), gen_params, gopt.init(gen_params),
-                    disc_params, dopt.init(disc_params))
+
+    # jitted init: eager init is pathological over a remote-dispatch tunnel
+    @jax.jit
+    def _init(rng, batch):
+        rngs = {'params': rng, 'noise': jax.random.fold_in(rng, 7)}
+        if cfg.vocoder.split_cv:
+            gvars = gen.init(rngs, batch['mel_c'], batch['mel_v'],
+                             batch['tmpl_c'][..., None],
+                             batch['tmpl_v'][..., None],
+                             batch['uv'][..., None], train=True)
+        else:
+            gvars = gen.init(rngs, batch['mel'], batch['tmpl'][..., None],
+                             train=True)
+        gen_params = gvars['params']
+        y = batch['wav']
+        _, specs_r, specs_g = L.multi_stft_specs_and_loss(y, y, cfg)
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, 11), 3)
+        disc_params = {
+            'msd': MultiScaleDiscriminator(cfg).init(
+                k1, y[..., None], y[..., None])['params'],
+            'mpd': MultiPeriodDiscriminator(cfg).init(
+                k2, y[..., None], y[..., None])['params'],
+            'mtd': MultiStftDiscriminator(cfg).init(k3, specs_r, specs_g)['params'],
+        }
+        return gen_params, gopt.init(gen_params), disc_params, dopt.init(disc_params)
+
+    gen_params, gen_opt, disc_params, disc_opt = _init(rng, batch)
+    return GANState(jnp.asarray(0, jnp.int32), gen_params, gen_opt,
+                    disc_params, disc_opt)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
