@@ -39,7 +39,8 @@ class Tacotron(nn.Module):
     def __call__(self, text, text_lengths, prds=None, spec_lengths=None,
                  mel_targets=None, f0_targets=None, c0_targets=None,
                  tf_ratio=0.0, train: bool = False,
-                 max_iters: Optional[int] = None) -> Dict[str, Any]:
+                 max_iters: Optional[int] = None,
+                 encoder_only: bool = False) -> Dict[str, Any]:
         hp = self.cfg.acoustic
         au = self.cfg.audio
         vocab = get_vocab_size(hp.g2p)
@@ -110,6 +111,12 @@ class Tacotron(nn.Module):
         # ---------------- decoder (scan) ----------------------------------
         keys = dec.MemoryLayer(hp.attention_depth, name='attn_memory')(enc_out)
         attn_p = dec.prepare_attention(enc_out, text_lengths, keys)
+        if encoder_only:
+            # serving fast path: the fused pallas decoder (ops/fused_decoder)
+            # consumes these directly with the same 'decoder_cell' params
+            return {'keys': attn_p.keys, 'values': attn_p.values,
+                    'mask': attn_p.mask, 'prds_out': prds_out,
+                    'prds_prob': prds_prob}
         carry = dec.init_carry(b, n, self.cfg)
         if train:
             cell = dec.make_scanned_cell(self.cfg, 'train')
@@ -161,6 +168,21 @@ class Tacotron(nn.Module):
             n_steps = jnp.where(fin_any, first + 1, t_r)
             out['out_lengths'] = n_steps * r
         return out
+
+
+def posnet_apply(params: Dict[str, Any], mel_out: jnp.ndarray,
+                 cfg: Config) -> jnp.ndarray:
+    """Standalone posnet from the Tacotron param tree (serving fast path:
+    mel from the fused decoder -> linear spec), identical math to the
+    in-module posnet above."""
+    hp = cfg.acoustic
+    x = mel_out[..., :hp.n_mel_low]
+    for name in ('posnet1', 'posnet2', 'posnet3'):
+        x = nn.leaky_relu(x @ params[name]['kernel'] + params[name]['bias'])
+    groups = jnp.split(x, hp.posnet_ngroup, axis=-1)
+    return jnp.concatenate(
+        [g @ params[f'posnet4_{i}']['kernel'] + params[f'posnet4_{i}']['bias']
+         for i, g in enumerate(groups)], axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -53,8 +53,14 @@ def multi_stft_specs_and_loss(y: jnp.ndarray, y_g: jnp.ndarray, cfg: Config
 
 
 def _max_pool(y: jnp.ndarray, k: int) -> jnp.ndarray:
-    """torch MaxPool1d(k) default stride=k, VALID; y: [B, S]."""
-    return jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, k), (1, k), 'VALID')
+    """torch MaxPool1d(k) default stride=k, VALID; y: [B, S].
+
+    Non-overlapping windows, so trim+reshape+max is exact -- and unlike
+    reduce_window-max its gradient lowers on TPU (select-and-scatter over the
+    minor-most dim is unimplemented there).
+    """
+    n = y.shape[-1] // k
+    return jnp.max(y[..., :n * k].reshape(y.shape[:-1] + (n, k)), axis=-1)
 
 
 def envelope_loss(y: jnp.ndarray, y_g: jnp.ndarray, cfg: Config) -> jnp.ndarray:

@@ -1,0 +1,323 @@
+"""Pallas TPU fused autoregressive decoder step (inference path).
+
+Profiling the 80-step decode scan on v5e showed ~1.3 ms/step: each step is
+~30 small XLA kernels (prenet, input proj, 12 GRU matmul/elementwise ops,
+location conv, energy, softmax, context, projections, impute masking), each
+paying launch + HBM-latency overhead at [B<=16, 512]-sized operands.  This
+module collapses one decode step into TWO pallas kernels:
+
+  kernel A (gru_tower):  prenet -> input-feed proj -> residual GRU x2
+  kernel B (attend_project): LSA (folded location conv as shift-matrix
+           matmul) -> context -> frame/stop projections -> stop logic ->
+           impute_finished state selection
+
+consuming the *same* parameter tree the flax model trains (packed/folded at
+trace time, which XLA hoists out of the scan).  GRU weights are carried in
+bfloat16 (f32 accumulation) so each kernel's operands fit comfortably in
+VMEM.  A pure-JAX reference path mirrors the math for interpret-mode
+equivalence tests against ``models.decoder.DecoderCell``.
+
+Reference semantics: ``transtacos/models/rnn_wrappers.py:181-235``,
+``attention.py``, ``custom_decoder.py:44-59`` (stop when any of the r stop
+sigmoids >= .5; impute_finished zeroes emissions and holds state).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..config import Config
+from .lsa_kernel import _shift_matrix, fold_location_params
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+
+class FoldedParams(NamedTuple):
+    """Packed decoder weights (bf16 matmul operands, f32 biases)."""
+    wp: jnp.ndarray      # prenet dense    [M, P]
+    bp: jnp.ndarray      # [P]
+    wx_p: jnp.ndarray    # input proj, prenet part  [P, H]
+    wx_c: jnp.ndarray    # input proj, context part [D, H]
+    bx: jnp.ndarray      # [H]
+    wi1: jnp.ndarray     # gru1 input kernel  [H, 3H]  (r|z|n)
+    bi1: jnp.ndarray     # [3H]
+    wh1: jnp.ndarray     # gru1 hidden kernel [H, 3H]
+    bhn1: jnp.ndarray    # [H]
+    wi2: jnp.ndarray
+    bi2: jnp.ndarray
+    wh2: jnp.ndarray
+    bhn2: jnp.ndarray
+    wq: jnp.ndarray      # query proj [H, A]
+    loc: jnp.ndarray     # folded location matrix [31, A]
+    v: jnp.ndarray       # [A, 1]
+    ba: jnp.ndarray      # [A]
+    wf_r: jnp.ndarray    # frame proj, rnn part [H, r*M]
+    wf_c: jnp.ndarray    # frame proj, ctx part [D, r*M]
+    bf: jnp.ndarray      # [r*M]
+    ws_r: jnp.ndarray    # stop proj [H, r]
+    ws_c: jnp.ndarray    # [D, r]
+    bs: jnp.ndarray      # [r]
+
+
+def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams:
+    """Pack the flax ``decoder_cell`` param tree into kernel operands."""
+    p = cell_params
+    assert 'dense_2' not in p['decoder_prenet'], \
+        'fused decoder supports single-layer prenet (default config)'
+
+    def gru_pack(g):
+        wi = jnp.concatenate([g['ir']['kernel'], g['iz']['kernel'],
+                              g['in']['kernel']], axis=1)
+        bi = jnp.concatenate([g['ir']['bias'], g['iz']['bias'],
+                              g['in']['bias']])
+        wh = jnp.concatenate([g['hr']['kernel'], g['hz']['kernel'],
+                              g['hn']['kernel']], axis=1)
+        return wi.astype(dtype), bi, wh.astype(dtype), g['hn']['bias']
+
+    wi1, bi1, wh1, bhn1 = gru_pack(p['gru_0'])
+    wi2, bi2, wh2, bhn2 = gru_pack(p['gru_1'])
+
+    wx = p['rnn_in_proj']['kernel']
+    prenet_out = p['decoder_prenet']['dense_1']['kernel'].shape[1]
+    lsa = p['lsa']
+    wf = p['frame_projection']['kernel']
+    ws = p['stop_projection']['kernel']
+    h = wi1.shape[0]
+
+    return FoldedParams(
+        wp=p['decoder_prenet']['dense_1']['kernel'].astype(dtype),
+        bp=p['decoder_prenet']['dense_1']['bias'],
+        wx_p=wx[:prenet_out].astype(dtype),
+        wx_c=wx[prenet_out:].astype(dtype),
+        bx=p['rnn_in_proj']['bias'],
+        wi1=wi1, bi1=bi1, wh1=wh1, bhn1=bhn1,
+        wi2=wi2, bi2=bi2, wh2=wh2, bhn2=bhn2,
+        wq=lsa['query_layer']['kernel'].astype(dtype),
+        loc=fold_location_params(lsa['location_convolution']['kernel'],
+                                 lsa['location_layer']['kernel']).astype(jnp.float32),
+        v=lsa['attention_variable'].astype(jnp.float32),
+        ba=lsa['attention_bias'],
+        wf_r=wf[:h].astype(dtype),
+        wf_c=wf[h:].astype(dtype),
+        bf=p['frame_projection']['bias'],
+        ws_r=ws[:h].astype(dtype),
+        ws_c=ws[h:].astype(dtype),
+        bs=p['stop_projection']['bias'],
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel A: prenet -> input-feed proj -> residual GRU x2
+# ---------------------------------------------------------------------------
+
+def _gru_tower_kernel(prev_ref, ctx_ref, h1_ref, h2_ref,
+                      wp_ref, bp_ref, wxp_ref, wxc_ref, bx_ref,
+                      wi1_ref, bi1_ref, wh1_ref, bhn1_ref,
+                      wi2_ref, bi2_ref, wh2_ref, bhn2_ref,
+                      rnn_ref, h1o_ref, h2o_ref):
+    f32 = jnp.float32
+    bf16 = wp_ref.dtype
+    prev = prev_ref[:, :]
+    prenet = jnp.maximum(
+        jnp.dot(prev.astype(bf16), wp_ref[:, :], preferred_element_type=f32)
+        + bp_ref[0, :], 0.0)
+    x = (jnp.dot(prenet.astype(bf16), wxp_ref[:, :], preferred_element_type=f32)
+         + jnp.dot(ctx_ref[:, :].astype(bf16), wxc_ref[:, :],
+                   preferred_element_type=f32)
+         + bx_ref[0, :])
+
+    def gru(x, h, wi_ref, bi_ref, wh_ref, bhn_ref):
+        hsz = h.shape[-1]
+        gi = jnp.dot(x.astype(bf16), wi_ref[:, :], preferred_element_type=f32) \
+            + bi_ref[0, :]
+        gh = jnp.dot(h.astype(bf16), wh_ref[:, :], preferred_element_type=f32)
+        r = jax.nn.sigmoid(gi[:, :hsz] + gh[:, :hsz])
+        z = jax.nn.sigmoid(gi[:, hsz:2 * hsz] + gh[:, hsz:2 * hsz])
+        n = jnp.tanh(gi[:, 2 * hsz:] + r * (gh[:, 2 * hsz:] + bhn_ref[0, :]))
+        return (1.0 - z) * n + z * h
+
+    h1 = gru(x, h1_ref[:, :], wi1_ref, bi1_ref, wh1_ref, bhn1_ref)
+    x1 = h1 + x                                     # ResidualWrapper
+    h2 = gru(x1, h2_ref[:, :], wi2_ref, bi2_ref, wh2_ref, bhn2_ref)
+    rnn_ref[:, :] = h2 + x1
+    h1o_ref[:, :] = h1
+    h2o_ref[:, :] = h2
+
+
+# ---------------------------------------------------------------------------
+# kernel B: LSA + context + projections + stop/impute logic
+# ---------------------------------------------------------------------------
+
+def _attend_project_kernel(rnn_ref, cum_ref, keys_ref, values_ref, mask_ref,
+                           shift_ref, finished_ref,
+                           old_ctx_ref, old_cum_ref, old_prev_ref,
+                           wq_ref, loc_ref, v_ref, ba_ref,
+                           wfr_ref, wfc_ref, bf_ref, wsr_ref, wsc_ref, bs_ref,
+                           frames_ref, stop_ref, align_ref,
+                           ctx_ref, cum_out_ref, prev_ref, fin_ref):
+    f32 = jnp.float32
+    bf16 = wq_ref.dtype
+    b, n = cum_ref.shape
+    kwin = loc_ref.shape[0]
+    rnn = rnn_ref[:, :]
+
+    q = jnp.dot(rnn.astype(bf16), wq_ref[:, :], preferred_element_type=f32)
+
+    # location features: per-row shift-matrix matmul (shift pre-transposed
+    # to [N, N*kwin] by the caller)
+    wflat = jnp.dot(cum_ref[:, :], shift_ref[:, :],
+                    preferred_element_type=f32)            # [B, N*kwin]
+    windows = wflat.reshape(b, n, kwin)
+    loc = jax.lax.dot_general(windows, loc_ref[:, :],
+                              dimension_numbers=(((2,), (0,)), ((), ())),
+                              preferred_element_type=f32)  # [B, N, A]
+
+    pre = jnp.tanh(keys_ref[:, :, :] + q[:, None, :] + loc + ba_ref[0, :])
+    e = jax.lax.dot_general(pre, v_ref[:, :],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=f32)[:, :, 0]   # [B, N]
+
+    mask = mask_ref[:, :]
+    e = jnp.where(mask > 0, e, -1e30)
+    m = jnp.max(e, axis=-1, keepdims=True)
+    w = jnp.exp(e - m) * (mask > 0)
+    align = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-30)
+
+    ctx = jax.lax.dot_general(align, values_ref[:, :, :],
+                              dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=f32)   # [B, D]
+
+    frames = (jnp.dot(rnn.astype(bf16), wfr_ref[:, :], preferred_element_type=f32)
+              + jnp.dot(ctx.astype(bf16), wfc_ref[:, :], preferred_element_type=f32)
+              + bf_ref[0, :])
+    stop_logit = (jnp.dot(rnn.astype(bf16), wsr_ref[:, :], preferred_element_type=f32)
+                  + jnp.dot(ctx.astype(bf16), wsc_ref[:, :], preferred_element_type=f32)
+                  + bs_ref[0, :])
+    stop_prob = jax.nn.sigmoid(stop_logit)
+
+    was_fin = finished_ref[:, :]                            # [B, 1] float
+    newly = jnp.max((stop_prob >= 0.5).astype(f32), axis=-1, keepdims=True)
+    fin = jnp.maximum(was_fin, newly)
+
+    n_mel = old_prev_ref.shape[-1]
+    alive = 1.0 - was_fin
+    frames = frames * alive
+    prev = frames[:, -n_mel:]
+
+    frames_ref[:, :] = frames
+    stop_ref[:, :] = stop_prob
+    align_ref[:, :] = align          # emitted raw, like the flax cell
+    ctx_ref[:, :] = jnp.where(was_fin > 0, old_ctx_ref[:, :], ctx)
+    cum_out_ref[:, :] = jnp.where(was_fin > 0, old_cum_ref[:, :],
+                                  cum_ref[:, :] + align)
+    prev_ref[:, :] = jnp.where(was_fin > 0, old_prev_ref[:, :], prev)
+    fin_ref[:, :] = fin
+
+
+def _full_specs(shapes, spec):
+    # n bound at definition time (late-binding lambdas would all see the
+    # last shape in the list)
+    return [pl.BlockSpec(s, lambda *_, n=len(s): (0,) * n, **spec)
+            for s in shapes]
+
+
+def _call_gru_tower(fp: FoldedParams, prev, ctx, h1, h2, interpret: bool):
+    b = prev.shape[0]
+    h = h1.shape[-1]
+    spec = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
+    args = (prev, ctx, h1, h2,
+            fp.wp, fp.bp[None, :], fp.wx_p, fp.wx_c, fp.bx[None, :],
+            fp.wi1, fp.bi1[None, :], fp.wh1, fp.bhn1[None, :],
+            fp.wi2, fp.bi2[None, :], fp.wh2, fp.bhn2[None, :])
+    return pl.pallas_call(
+        _gru_tower_kernel,
+        in_specs=_full_specs([a.shape for a in args], spec),
+        out_specs=_full_specs([(b, h), (b, h), (b, h)], spec),
+        out_shape=[jax.ShapeDtypeStruct((b, h), jnp.float32)] * 3,
+        interpret=interpret,
+    )(*args)
+
+
+def _call_attend_project(fp: FoldedParams, rnn, cum, keys, values, mask,
+                         shift, finished, old_ctx, old_cum, old_prev,
+                         interpret: bool):
+    b, n = cum.shape
+    d = values.shape[-1]
+    rm = fp.bf.shape[0]
+    r = fp.bs.shape[0]
+    n_mel = old_prev.shape[-1]
+    spec = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
+    args = (rnn, cum, keys, values, mask, shift, finished,
+            old_ctx, old_cum, old_prev,
+            fp.wq, fp.loc, fp.v, fp.ba[None, :],
+            fp.wf_r, fp.wf_c, fp.bf[None, :], fp.ws_r, fp.ws_c, fp.bs[None, :])
+    outs = [(b, rm), (b, r), (b, n), (b, d), (b, n), (b, n_mel), (b, 1)]
+    return pl.pallas_call(
+        _attend_project_kernel,
+        in_specs=_full_specs([a.shape for a in args], spec),
+        out_specs=_full_specs(outs, spec),
+        out_shape=[jax.ShapeDtypeStruct(s, jnp.float32) for s in outs],
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# scan driver
+# ---------------------------------------------------------------------------
+
+def fused_decode(cell_params: Dict[str, Any], cfg: Config,
+                 keys: jnp.ndarray, values: jnp.ndarray, mask: jnp.ndarray,
+                 steps: int, interpret: bool = False,
+                 dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """Run the full AR inference decode with the fused kernels.
+
+    Returns mel frames [B, steps*r, M], stop probs, alignments [B, N, steps],
+    out_lengths [B] -- matching ``Tacotron.__call__(train=False)``'s decoder
+    outputs (posnet applies outside).
+    """
+    hp = cfg.acoustic
+    au = cfg.audio
+    b, n = mask.shape
+    fp = fold_params(cell_params, dtype=dtype)
+    shift = jnp.asarray(_shift_matrix(n, fp.loc.shape[0]).T)   # [N, N*kwin]
+
+    def step(carry, _):
+        h1, h2, ctx, cum, prev, fin = carry
+        rnn, h1n, h2n = _call_gru_tower(fp, prev, ctx, h1, h2, interpret)
+        frames, stop, align, ctx_n, cum_n, prev_n, fin_n = _call_attend_project(
+            fp, rnn, cum, keys, values, mask, shift, fin, ctx, cum, prev,
+            interpret)
+        was_fin = fin > 0
+        h1n = jnp.where(was_fin, h1, h1n)
+        h2n = jnp.where(was_fin, h2, h2n)
+        new_carry = (h1n, h2n, ctx_n, cum_n, prev_n, fin_n)
+        return new_carry, {'frames': frames, 'stop': stop, 'align': align,
+                           'finished': fin_n[:, 0] > 0.5}
+
+    carry0 = (jnp.zeros((b, hp.decoder_depth)), jnp.zeros((b, hp.decoder_depth)),
+              jnp.zeros((b, hp.encoder_depth)), jnp.zeros((b, n)),
+              jnp.zeros((b, au.n_mel)), jnp.zeros((b, 1)))
+    _, ys = jax.lax.scan(step, carry0, None, length=steps)
+
+    r = hp.outputs_per_step
+    frames = ys['frames']                       # [T, B, r*M]
+    mel = frames.transpose(1, 0, 2).reshape(b, steps * r, au.n_mel)
+    stop = ys['stop'].transpose(1, 0, 2).reshape(b, steps * r)
+    align = ys['align'].transpose(1, 2, 0)      # [B, N, T]
+    finished = ys['finished']                   # [T, B]
+    fin_any = jnp.any(finished, axis=0)
+    first = jnp.argmax(finished, axis=0)
+    n_steps = jnp.where(fin_any, first + 1, steps)
+    return {'mel_outputs': mel, 'stop_token_outputs': stop,
+            'alignments': align, 'out_lengths': n_steps * r}

@@ -48,9 +48,11 @@ class Synthesizer:
                  vocoder_dir: Optional[str] = None,
                  kanji_table: Optional[str] = None,
                  max_iters: Optional[int] = None,
+                 fused_decoder: bool = False,
                  seed: int = 114514):
         self.cfg = cfg or Config()
         self.max_iters = max_iters or self.cfg.acoustic.max_iters
+        self.fused_decoder = fused_decoder
         self._rng = jax.random.PRNGKey(seed)
         self.kanji2pinyin = frontend.KanjiPinyin(kanji_table)
 
@@ -99,6 +101,27 @@ class Synthesizer:
 
     def _build_infer(self, n_pad: int):
         cfg, steps = self.cfg, self.max_iters
+
+        if self.fused_decoder:
+            # encoder (flax) -> pallas fused decode scan -> standalone posnet:
+            # 2 kernels per decode step instead of ~30 (see ops/fused_decoder)
+            from ..models.acoustic import posnet_apply
+            from ..ops.fused_decoder import fused_decode
+            # compiled pallas is TPU-only; interpret mode elsewhere (tests)
+            interpret = jax.default_backend() != 'tpu'
+
+            @jax.jit
+            def fn(params, text, text_lengths):
+                model = Tacotron(cfg)
+                enc = model.apply({'params': params}, text, text_lengths,
+                                  train=False, encoder_only=True)
+                out = fused_decode(params['decoder_cell'], cfg, enc['keys'],
+                                   enc['values'], enc['mask'], steps,
+                                   interpret=interpret)
+                out['mag_outputs'] = posnet_apply(params, out['mel_outputs'], cfg)
+                out['prds_out'] = enc['prds_out']
+                return out
+            return fn
 
         @jax.jit
         def fn(params, text, text_lengths):
