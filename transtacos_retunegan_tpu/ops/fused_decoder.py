@@ -160,7 +160,7 @@ def _gru_tower_kernel(prev_ref, ctx_ref, h1_ref, h2_ref,
 # ---------------------------------------------------------------------------
 
 def _attend_project_kernel(rnn_ref, cum_ref, keys_ref, values_ref, mask_ref,
-                           shift_ref, finished_ref,
+                           finished_ref,
                            old_ctx_ref, old_cum_ref, old_prev_ref,
                            wq_ref, loc_ref, v_ref, ba_ref,
                            wfr_ref, wfc_ref, bf_ref, wsr_ref, wsc_ref, bs_ref,
@@ -170,23 +170,25 @@ def _attend_project_kernel(rnn_ref, cum_ref, keys_ref, values_ref, mask_ref,
     bf16 = wq_ref.dtype
     b, n = cum_ref.shape
     kwin = loc_ref.shape[0]
+    half = kwin // 2
     rnn = rnn_ref[:, :]
 
     q = jnp.dot(rnn.astype(bf16), wq_ref[:, :], preferred_element_type=f32)
 
-    # location features: per-row shift-matrix matmul (shift pre-transposed
-    # to [N, N*kwin] by the caller)
-    wflat = jnp.dot(cum_ref[:, :], shift_ref[:, :],
-                    preferred_element_type=f32)            # [B, N*kwin]
-    windows = wflat.reshape(b, n, kwin)
-    loc = jax.lax.dot_general(windows, loc_ref[:, :],
-                              dimension_numbers=(((2,), (0,)), ((), ())),
-                              preferred_element_type=f32)  # [B, N, A]
+    # location features as kwin static-sliced outer-product accumulates --
+    # Mosaic-safe (no lane-splitting reshapes, no >2-D dots):
+    #   loc[b, n, a] = sum_k cum[b, n + k - half] * lock[k, a]
+    a_dim = loc_ref.shape[1]
+    zpad = jnp.zeros((b, half), f32)
+    cum_pad = jnp.concatenate([zpad, cum_ref[:, :], zpad], axis=1)  # [B, N+30]
+    loc = jnp.zeros((b, n, a_dim), f32)
+    for k in range(kwin):
+        w_k = cum_pad[:, k:k + n]                              # [B, N]
+        loc = loc + w_k[:, :, None] * loc_ref[k, :][None, None, :]
 
     pre = jnp.tanh(keys_ref[:, :, :] + q[:, None, :] + loc + ba_ref[0, :])
-    e = jax.lax.dot_general(pre, v_ref[:, :],
-                            dimension_numbers=(((2,), (0,)), ((), ())),
-                            preferred_element_type=f32)[:, :, 0]   # [B, N]
+    e = jnp.dot(pre.reshape(b * n, a_dim), v_ref[:, :],
+                preferred_element_type=f32).reshape(b, n)
 
     mask = mask_ref[:, :]
     e = jnp.where(mask > 0, e, -1e30)
@@ -194,9 +196,7 @@ def _attend_project_kernel(rnn_ref, cum_ref, keys_ref, values_ref, mask_ref,
     w = jnp.exp(e - m) * (mask > 0)
     align = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-30)
 
-    ctx = jax.lax.dot_general(align, values_ref[:, :, :],
-                              dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=f32)   # [B, D]
+    ctx = jnp.sum(align[:, :, None] * values_ref[:, :, :], axis=1)   # [B, D]
 
     frames = (jnp.dot(rnn.astype(bf16), wfr_ref[:, :], preferred_element_type=f32)
               + jnp.dot(ctx.astype(bf16), wfc_ref[:, :], preferred_element_type=f32)
@@ -250,7 +250,7 @@ def _call_gru_tower(fp: FoldedParams, prev, ctx, h1, h2, interpret: bool):
 
 
 def _call_attend_project(fp: FoldedParams, rnn, cum, keys, values, mask,
-                         shift, finished, old_ctx, old_cum, old_prev,
+                         finished, old_ctx, old_cum, old_prev,
                          interpret: bool):
     b, n = cum.shape
     d = values.shape[-1]
@@ -258,7 +258,7 @@ def _call_attend_project(fp: FoldedParams, rnn, cum, keys, values, mask,
     r = fp.bs.shape[0]
     n_mel = old_prev.shape[-1]
     spec = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
-    args = (rnn, cum, keys, values, mask, shift, finished,
+    args = (rnn, cum, keys, values, mask, finished,
             old_ctx, old_cum, old_prev,
             fp.wq, fp.loc, fp.v, fp.ba[None, :],
             fp.wf_r, fp.wf_c, fp.bf[None, :], fp.ws_r, fp.ws_c, fp.bs[None, :])
@@ -290,13 +290,12 @@ def fused_decode(cell_params: Dict[str, Any], cfg: Config,
     au = cfg.audio
     b, n = mask.shape
     fp = fold_params(cell_params, dtype=dtype)
-    shift = jnp.asarray(_shift_matrix(n, fp.loc.shape[0]).T)   # [N, N*kwin]
 
     def step(carry, _):
         h1, h2, ctx, cum, prev, fin = carry
         rnn, h1n, h2n = _call_gru_tower(fp, prev, ctx, h1, h2, interpret)
         frames, stop, align, ctx_n, cum_n, prev_n, fin_n = _call_attend_project(
-            fp, rnn, cum, keys, values, mask, shift, fin, ctx, cum, prev,
+            fp, rnn, cum, keys, values, mask, fin, ctx, cum, prev,
             interpret)
         was_fin = fin > 0
         h1n = jnp.where(was_fin, h1, h1n)

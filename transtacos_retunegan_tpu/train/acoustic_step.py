@@ -24,6 +24,7 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    extra_vars: Any = {}       # non-param collections (CBHG batch_stats)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -48,14 +49,14 @@ def init_state(cfg: Config, rng: jax.Array, batch: Dict[str, Any]) -> TrainState
              'tf': jax.random.fold_in(rng, 3)},
             text, text_lengths, prds, spec_lengths, mel, f0, c0,
             jnp.asarray(1.0), train=True)
-        params = variables['params']
-        return params, make_optimizer(cfg).init(params)
+        params = variables.pop('params')
+        return params, make_optimizer(cfg).init(params), dict(variables)
 
-    params, opt_state = _init(rng, batch['text'], batch['text_lengths'],
-                              batch['prds'], batch['spec_lengths'],
-                              batch['mel_targets'], batch['f0_targets'],
-                              batch['c0_targets'])
-    return TrainState(jnp.asarray(0, jnp.int32), params, opt_state)
+    params, opt_state, extra = _init(rng, batch['text'], batch['text_lengths'],
+                                     batch['prds'], batch['spec_lengths'],
+                                     batch['mel_targets'], batch['f0_targets'],
+                                     batch['c0_targets'])
+    return TrainState(jnp.asarray(0, jnp.int32), params, opt_state, extra)
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
@@ -67,28 +68,35 @@ def train_step(cfg: Config, state: TrainState, batch: Dict[str, Any],
             'dropout': jax.random.fold_in(rng, 2),
             'tf': jax.random.fold_in(rng, 3)}
 
+    mutable = list(state.extra_vars.keys())
+
     def loss_fn(params):
-        out = model.apply({'params': params}, batch['text'],
+        out = model.apply({'params': params, **state.extra_vars},
+                          batch['text'],
                           batch['text_lengths'], batch['prds'],
                           batch['spec_lengths'], batch['mel_targets'],
                           batch['f0_targets'], batch['c0_targets'], tfr,
-                          train=True, rngs=rngs)
+                          train=True, rngs=rngs, mutable=mutable)
+        if mutable:
+            out, new_extra = out
+        else:
+            new_extra = state.extra_vars
         losses = compute_losses(out, batch, cfg, params)
-        return losses['loss'], losses
+        return losses['loss'], (losses, new_extra)
 
-    grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+    grads, (losses, new_extra) = jax.grad(loss_fn, has_aux=True)(state.params)
     updates, opt_state = make_optimizer(cfg).update(grads, state.opt_state,
                                                     state.params)
     params = optax.apply_updates(state.params, updates)
     gnorm = optax.global_norm(grads)
     losses = dict(losses, grad_norm=gnorm, tfr=tfr,
                   learning_rate=noam_lr(state.step, cfg.acoustic))
-    return TrainState(state.step + 1, params, opt_state), losses
+    return TrainState(state.step + 1, params, opt_state, new_extra), losses
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def infer_step(cfg: Config, params, batch: Dict[str, Any],
-               max_iters: int) -> Dict[str, jnp.ndarray]:
+               max_iters: int, extra_vars=None) -> Dict[str, jnp.ndarray]:
     model = Tacotron(cfg)
-    return model.apply({'params': params}, batch['text'],
+    return model.apply({'params': params, **(extra_vars or {})}, batch['text'],
                        batch['text_lengths'], train=False, max_iters=max_iters)

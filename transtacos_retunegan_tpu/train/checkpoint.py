@@ -68,7 +68,8 @@ def save_acoustic(run_dir: str, state, keep: int = 1) -> str:
     step = int(state.step)
     path = os.path.join(run_dir, f'ckpt_{step:08d}')
     save_tree(path, {'step': state.step, 'params': state.params,
-                     'opt_state': state.opt_state})
+                     'opt_state': state.opt_state,
+                     'extra_vars': state.extra_vars})
     prune_old(run_dir, 'ckpt_', keep)
     return path
 
@@ -78,8 +79,10 @@ def restore_acoustic(run_dir: str, template) -> Optional[Any]:
     if path is None:
         return None
     tree = restore_tree(path, {'step': template.step, 'params': template.params,
-                               'opt_state': template.opt_state})
-    return type(template)(tree['step'], tree['params'], tree['opt_state'])
+                               'opt_state': template.opt_state,
+                               'extra_vars': template.extra_vars})
+    return type(template)(tree['step'], tree['params'], tree['opt_state'],
+                          tree['extra_vars'])
 
 
 # -------------------- vocoder (g_/do_ split) --------------------

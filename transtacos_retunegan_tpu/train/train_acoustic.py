@@ -119,14 +119,18 @@ def _dump_eval(cfg, state: TrainState, batch, log_path, step, logger, sw):
     from ..models.acoustic import Tacotron
 
     model = Tacotron(cfg)
-    out = model.apply({'params': state.params}, batch['text'],
+    mutable = list(state.extra_vars.keys())
+    out = model.apply({'params': state.params, **state.extra_vars},
+                      batch['text'],
                       batch['text_lengths'], batch['prds'],
                       batch['spec_lengths'], batch['mel_targets'],
                       batch['f0_targets'], batch['c0_targets'], 1.0,
-                      train=True,
+                      train=True, mutable=mutable,
                       rngs={'noise': jax.random.PRNGKey(0),
                             'dropout': jax.random.PRNGKey(1),
                             'tf': jax.random.PRNGKey(2)})
+    if mutable:
+        out, _ = out
     mag_t = np.asarray(batch['mag_targets'][0]).T     # [F-1, T]
     mag_p = np.asarray(out['mag_outputs'][0]).T
     try:
