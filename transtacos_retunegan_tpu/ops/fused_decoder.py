@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from ..config import Config
-from .lsa_kernel import _shift_matrix, fold_location_params
+from .lsa_kernel import fold_location_params
 
 try:
     from jax.experimental.pallas import tpu as pltpu

@@ -48,10 +48,15 @@ class Synthesizer:
                  vocoder_dir: Optional[str] = None,
                  kanji_table: Optional[str] = None,
                  max_iters: Optional[int] = None,
-                 fused_decoder: bool = False,
+                 fused_decoder: Optional[bool] = None,
                  seed: int = 114514):
         self.cfg = cfg or Config()
         self.max_iters = max_iters or self.cfg.acoustic.max_iters
+        if fused_decoder is None:
+            # pallas fused decoder is ~28x the flax scan on TPU; compiled
+            # pallas is unavailable off-TPU and interpret mode is slower
+            # than the flax path, so auto-select by backend
+            fused_decoder = jax.default_backend() == 'tpu'
         self.fused_decoder = fused_decoder
         self._rng = jax.random.PRNGKey(seed)
         self.kanji2pinyin = frontend.KanjiPinyin(kanji_table)

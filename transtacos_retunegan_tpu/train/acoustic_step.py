@@ -76,7 +76,8 @@ def train_step(cfg: Config, state: TrainState, batch: Dict[str, Any],
                           batch['text_lengths'], batch['prds'],
                           batch['spec_lengths'], batch['mel_targets'],
                           batch['f0_targets'], batch['c0_targets'], tfr,
-                          train=True, rngs=rngs, mutable=mutable)
+                          train=True, rngs=rngs,
+                          mutable=mutable if mutable else False)
         if mutable:
             out, new_extra = out
         else:

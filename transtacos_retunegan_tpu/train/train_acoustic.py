@@ -125,7 +125,7 @@ def _dump_eval(cfg, state: TrainState, batch, log_path, step, logger, sw):
                       batch['text_lengths'], batch['prds'],
                       batch['spec_lengths'], batch['mel_targets'],
                       batch['f0_targets'], batch['c0_targets'], 1.0,
-                      train=True, mutable=mutable,
+                      train=True, mutable=mutable if mutable else False,
                       rngs={'noise': jax.random.PRNGKey(0),
                             'dropout': jax.random.PRNGKey(1),
                             'tf': jax.random.PRNGKey(2)})
