@@ -1,7 +1,6 @@
 """Data pipeline tests on a synthetic mini-corpus written to tmpdir."""
 
 import dataclasses
-import os
 
 import numpy as np
 import pytest

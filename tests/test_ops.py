@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from transtacos_retunegan_tpu.ops import lsa_kernel as K
 

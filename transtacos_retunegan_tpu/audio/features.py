@@ -300,10 +300,13 @@ def time_stretch(y: np.ndarray, rate: float, cfg: AudioConfig) -> np.ndarray:
 
 def pitch_shift(y: np.ndarray, semitones: float, cfg: AudioConfig) -> np.ndarray:
     """Pitch shift = time-stretch then resample back to the original length."""
+    from fractions import Fraction
     rate = 2.0 ** (-semitones / 12.0)
     stretched = time_stretch(y, rate, cfg)
     n_out = len(y)
-    shifted = sps.resample_poly(stretched, len(y), max(1, len(stretched)))
+    # bound the polyphase factor so coprime lengths don't build giant filters
+    frac = Fraction(n_out, max(1, len(stretched))).limit_denominator(1000)
+    shifted = sps.resample_poly(stretched, frac.numerator, frac.denominator)
     if len(shifted) < n_out:
         shifted = np.pad(shifted, (0, n_out - len(shifted)))
     return shifted[:n_out].astype(np.float32)

@@ -19,7 +19,7 @@ import numpy as np
 from scipy import signal as sps
 
 from . import mel as melmod
-from .features import _frame_centered, stft_np
+from .features import stft_np
 from ..config import AudioConfig
 
 EPS_AMP = 1e-5

@@ -182,6 +182,8 @@ class AcousticConfig:
     # TPU-specific: static-shape bucketing so every batch shape jits once.
     text_bucket: int = 16         # pad text length up to a multiple of this
     frame_bucket: int = 80        # pad spec frames up to a multiple of this (mult of r)
+    remat_decoder: bool = True    # rematerialize decoder steps in backward
+    scan_unroll: int = 1          # unroll factor of the decode scan
 
 
 @dataclass(frozen=True)

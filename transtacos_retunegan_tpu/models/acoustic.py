@@ -119,7 +119,9 @@ class Tacotron(nn.Module):
                     'prds_prob': prds_prob}
         carry = dec.init_carry(b, n, self.cfg)
         if train:
-            cell = dec.make_scanned_cell(self.cfg, 'train')
+            cell = dec.make_scanned_cell(self.cfg, 'train',
+                                         remat=hp.remat_decoder,
+                                         unroll=hp.scan_unroll)
             xs = {'target_prev': dec.teacher_inputs(mel_targets, r)}
             tfr = jnp.asarray(tf_ratio, jnp.float32)
         else:

@@ -9,7 +9,7 @@ substitutes conv prednet outputs at inference.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -1,1 +1,1 @@
-from . import lsa_kernel  # noqa: F401
+from . import fused_decoder, lsa_kernel  # noqa: F401

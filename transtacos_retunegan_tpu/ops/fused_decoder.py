@@ -24,12 +24,10 @@ sigmoids >= .5; impute_finished zeroes emissions and holds state).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 from ..config import Config

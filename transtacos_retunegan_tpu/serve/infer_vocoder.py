@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio import dsp, features, transforms as T
+from ..audio import features, transforms as T
 from ..config import Config
 from ..models.generators import make_generator
 from ..train import checkpoint as ckpt
@@ -34,10 +34,11 @@ from ..train import checkpoint as ckpt
 def load_generator(run_dir: str, cfg: Config):
     gen = make_generator(cfg)
     fps = cfg.audio.frames_per_segment
-    variables = gen.init(
+    variables = jax.jit(lambda m, t: gen.init(
         {'params': jax.random.PRNGKey(0), 'noise': jax.random.PRNGKey(1)},
-        jnp.zeros((1, fps, cfg.audio.n_mel)),
-        jnp.zeros((1, fps * cfg.audio.hop_length, 1)), train=False)
+        m, t, train=False))(
+            jnp.zeros((1, fps, cfg.audio.n_mel)),
+            jnp.zeros((1, fps * cfg.audio.hop_length, 1)))
     params = ckpt.restore_generator_params(run_dir, variables['params'])
     if params is None:
         print(f'warning: no g_* checkpoint under {run_dir}; using random init')

@@ -111,12 +111,30 @@ def train(args) -> None:
         logger.info(f'<< Epoch {epoch + 1} took {time.time() - start_e:.2f}s')
 
 
+def _pad_to_bucket(item, cfg, bucket_frames=128):
+    """Pad a full-length eval item to a frame bucket so gan_eval_step
+    compiles once per bucket instead of once per utterance length."""
+    hop = cfg.audio.hop_length
+    t = item['mel'].shape[0] if 'mel' in item else item['mel_c'].shape[0]
+    t_pad = -(-t // bucket_frames) * bucket_frames
+    if t_pad == t:
+        return item
+    out = {}
+    for k, v in item.items():
+        if k.startswith('mel'):
+            out[k] = np.pad(v, ((0, t_pad - t), (0, 0)),
+                            constant_values=float(v.min()))
+        else:
+            out[k] = np.pad(v, (0, (t_pad - t) * hop))
+    return out
+
+
 def _validate(cfg, state, validset, step, logger, sw):
     """Held-out metrics + sample audio dumps (reference ``train.py:275-322``)."""
     agg = {'loss_mstft': 0.0, 'loss_env': 0.0, 'loss_dyn': 0.0, 'loss_sm': 0.0}
     count = 0
     for j in range(len(validset)):
-        item = validset[j]
+        item = _pad_to_bucket(validset[j], cfg)
         batch = {k: v[None] for k, v in item.items()}
         y_g, metrics = gan_eval_step(cfg, state.gen_params, batch)
         for k in agg:
