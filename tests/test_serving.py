@@ -68,57 +68,63 @@ class TestPipeline:
 class TestHTTP:
     @pytest.fixture(scope='class')
     def servers(self, synth):
-        servers = serve_all(synth, host='127.0.0.1', webui_port=15103,
-                            vocoder_port=15104, acoustic_port=15105)
+        # port 0 = ephemeral: parallel test runs don't collide
+        servers = serve_all(synth, host='127.0.0.1', webui_port=0,
+                            vocoder_port=0, acoustic_port=0)
         yield servers
         for s in servers:
             s.shutdown()
 
-    def test_webui_page(self, servers):
-        body = urllib.request.urlopen('http://127.0.0.1:15103/').read()
+    @pytest.fixture(scope='class')
+    def ports(self, servers):
+        return {role: s.server_address[1]
+                for role, s in zip(('webui', 'vocoder', 'acoustic'), servers)}
+
+    def test_webui_page(self, ports):
+        body = urllib.request.urlopen(f"http://127.0.0.1:{ports['webui']}/").read()
         assert b'<html' in body.lower()
 
-    def test_synth_endpoint_returns_wav(self, servers):
+    def test_synth_endpoint_returns_wav(self, ports):
         r = urllib.request.urlopen(
-            'http://127.0.0.1:15103/synth?text=ni3%20hao3', timeout=300)
+            f"http://127.0.0.1:{ports['webui']}/synth?text=ni3%20hao3", timeout=300)
         body = r.read()
         assert body[:4] == b'RIFF'
         assert r.headers['Content-Type'] == 'audio/wav'
 
-    def test_synth_spec_pickle_contract(self, servers):
+    def test_synth_spec_pickle_contract(self, ports):
         req = urllib.request.Request(
-            'http://127.0.0.1:15105/synth_spec',
+            f"http://127.0.0.1:{ports['acoustic']}/synth_spec",
             data=json.dumps({'pinyin': 'ni3 hao3'}).encode(),
             headers={'Content-Type': 'application/json'})
         spec = pickle.loads(urllib.request.urlopen(req, timeout=300).read())
         assert spec.dtype == np.float32
         assert spec.shape[1] == 1025          # [T, F] like the reference
 
-    def test_vocode_pickle_contract(self, servers):
+    def test_vocode_pickle_contract(self, ports):
         spec = np.abs(np.random.RandomState(0).randn(40, 1025) * 0.01).astype(np.float32)
-        req = urllib.request.Request('http://127.0.0.1:15104/vocode',
+        req = urllib.request.Request(f"http://127.0.0.1:{ports['vocoder']}/vocode",
                                      data=pickle.dumps(spec))
         wav = pickle.loads(urllib.request.urlopen(req, timeout=300).read())
         assert wav.dtype == np.float32
         assert len(wav) == 40 * 256
 
-    def test_empty_text_400(self, servers):
+    def test_empty_text_400(self, ports):
         try:
-            urllib.request.urlopen('http://127.0.0.1:15103/synth?text=', timeout=60)
+            urllib.request.urlopen(f"http://127.0.0.1:{ports['webui']}/synth?text=", timeout=60)
             assert False, 'expected HTTP error'
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
-    def test_pipeline_parity_with_reference_chain(self, servers, synth):
+    def test_pipeline_parity_with_reference_chain(self, ports, synth):
         """The reference chain: POST /synth_spec -> concat -> POST /vocode.
         Verify wire-format compatibility end to end."""
         req = urllib.request.Request(
-            'http://127.0.0.1:15105/synth_spec',
+            f"http://127.0.0.1:{ports['acoustic']}/synth_spec",
             data=json.dumps({'pinyin': 'da4 jia1 hao3'}).encode(),
             headers={'Content-Type': 'application/json'})
         spec = pickle.loads(urllib.request.urlopen(req, timeout=300).read())
         spec_cat = np.concatenate([spec], axis=0)   # app.py:69 time concat
-        req2 = urllib.request.Request('http://127.0.0.1:15104/vocode',
+        req2 = urllib.request.Request(f"http://127.0.0.1:{ports['vocoder']}/vocode",
                                       data=pickle.dumps(spec_cat))
         wav = pickle.loads(urllib.request.urlopen(req2, timeout=300).read())
         assert len(wav) == spec_cat.shape[0] * 256
