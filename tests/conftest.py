@@ -23,3 +23,12 @@ import pytest  # noqa: E402
 @pytest.fixture(scope='session')
 def rng():
     return np.random.RandomState(114514)
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_between_modules():
+    """The XLA CPU compiler has segfaulted late in long single-process runs
+    (hundreds of accumulated executables); dropping compiled-program caches
+    between test modules keeps the process healthy."""
+    yield
+    jax.clear_caches()

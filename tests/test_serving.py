@@ -18,6 +18,8 @@ def synth():
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
+        # fewer GL iterations: CPU test-suite cost, not a behavior change
+        audio=dataclasses.replace(cfg.audio, gl_iters_acoustic=6),
         acoustic=dataclasses.replace(
             cfg.acoustic, embed_depth=32, encoder_depth=32, decoder_depth=64,
             attention_depth=16, prenet_depths=(32,), posnet_depth=64,
@@ -56,6 +58,17 @@ class TestPipeline:
             pytest.skip('pinyin provider present')
         with pytest.raises(RuntimeError, match='pinyin'):
             synth.tts('你好世界')
+
+    def test_tts_batch(self, synth):
+        wavs = synth.tts_batch(['ni3 hao3', 'zhong1 guo2 ren2'], neural=True)
+        assert len(wavs) == 2
+        for w in wavs:
+            assert len(w) > 0 and np.isfinite(w).all()
+        # batched acoustic output matches the single-request path
+        s_single = synth.synthesize_spec('ni3 hao3')
+        s_batch = synth.synthesize_spec_batch(['ni3 hao3', 'zhong1 guo2 ren2'])[0]
+        assert s_single.shape == s_batch.shape
+        np.testing.assert_allclose(s_single, s_batch, rtol=1e-3, atol=1e-4)
 
     def test_bucket_reuse(self, synth):
         # two different lengths within the same bucket share a compile

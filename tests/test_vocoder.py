@@ -166,10 +166,12 @@ class TestGANStep:
             'tmpl': jnp.asarray(np.stack([wav, wav])),
             'wav': jnp.asarray(np.stack([wav, wav])),
         }
-        state = init_gan_state(cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=100)
+        # same steps_per_epoch as the other GAN-step tests: the static arg is
+        # part of the jit key, and this graph is expensive to compile twice
+        state = init_gan_state(cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=10)
         first = last = None
         for i in range(12):
-            state, m = gan_train_step(cfg, state, batch, jax.random.PRNGKey(i), 100)
+            state, m = gan_train_step(cfg, state, batch, jax.random.PRNGKey(i), 10)
             if first is None:
                 first = float(m['loss_mstft'])
             last = float(m['loss_mstft'])

@@ -225,6 +225,60 @@ class Synthesizer:
                                              jnp.asarray(spec), key)
         return np.asarray(wav)[:self.cfg.audio.hop_length * t_real].astype(np.float32)
 
+    def synthesize_spec_batch(self, pinyins: List[str]) -> List[np.ndarray]:
+        """Batched acoustic synthesis: one decode scan for many requests.
+
+        Texts are padded to a common bucket; the per-utterance stop token
+        trims each output.  This is the production-QPS path -- the decoder's
+        cost is per-step, so batching is nearly free until MXU saturation.
+        """
+        if not pinyins:
+            raise ValueError('synthesize_spec_batch requires at least one input')
+        seqs = [frontend.serialize_inference(p, self.cfg.acoustic.g2p)
+                for p in pinyins]
+        n_max = max(s.shape[0] for s in seqs)
+        n_pad = _round_up(max(n_max, 1), self.cfg.acoustic.text_bucket)
+        b = len(seqs)
+        text = np.zeros((b, n_pad, 2), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, s in enumerate(seqs):
+            text[i, :s.shape[0]] = s
+            lens[i] = s.shape[0]
+        # batch size is part of the compile key; cache per (n_pad, b)
+        out = self._infer_fn(n_pad)(self.acoustic_params, jnp.asarray(text),
+                                    jnp.asarray(lens))
+        mags = np.asarray(out['mag_outputs'])
+        lengths = np.asarray(out['out_lengths'])
+        specs = []
+        for i in range(b):
+            mag = mags[i, :int(lengths[i])].T            # [F-1, T]
+            s = dsp.spec_to_natural_scale(jnp.asarray(mag), self.cfg.audio)
+            specs.append(np.asarray(dsp.fix_zero_dc(s, self.cfg.audio)))
+        return specs
+
+    def tts_batch(self, texts: List[str], neural: bool = True) -> List[np.ndarray]:
+        """Batched text->wav for throughput serving."""
+        pinyins = []
+        for t in texts:
+            if frontend.looks_like_pinyin(t):
+                pinyins.append(t.strip().lower())
+            else:
+                segs = frontend.normalize_text(t)
+                pinyins.append(' '.join(self.kanji2pinyin(s) for s in segs))
+        specs = self.synthesize_spec_batch(pinyins)
+        if neural:
+            return [self.vocode(s) for s in specs]
+        wavs = []
+        for s in specs:
+            t_real = s.shape[1]
+            sp = self._bucket_spec(s)
+            self._rng, key = jax.random.split(self._rng)
+            w = np.asarray(self._gl_fn(sp.shape[1])(jnp.asarray(sp), key))
+            wavs.append(features.trim_silence(
+                w[:self.cfg.audio.hop_length * t_real].astype(np.float32),
+                self.cfg.audio))
+        return wavs
+
     def tts(self, text: str, neural: bool = True) -> np.ndarray:
         """Full text -> wav.  Accepts kanji (with a pinyin provider) or
         numbered pinyin; clause-splits long inputs like the reference WebUI."""
