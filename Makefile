@@ -30,6 +30,10 @@ server:
 	python -m transtacos_retunegan_tpu.serve.app \
 		--acoustic_dir $(ACOUSTIC_RUN) --vocoder_dir $(VOCODER_RUN)
 
+test-server:
+	curl -s "http://127.0.0.1:5103/synth?text=ni3%20hao3" -o /tmp/test_synth.wav \
+		&& file /tmp/test_synth.wav
+
 stat:
 	python -m transtacos_retunegan_tpu.tools.corpus_stats --data_dir $(DATA_DIR)
 
