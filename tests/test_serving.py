@@ -128,6 +128,16 @@ class TestHTTP:
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
+    def test_synth_batch_endpoint(self, ports):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{ports['webui']}/synth_batch",
+            data=json.dumps({'texts': ['ni3 hao3', 'da4 jia1'],
+                             'neural': False}).encode(),
+            headers={'Content-Type': 'application/json'})
+        wavs = pickle.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert len(wavs) == 2
+        assert all(w.dtype == np.float32 and len(w) > 0 for w in wavs)
+
     def test_pipeline_parity_with_reference_chain(self, ports, synth):
         """The reference chain: POST /synth_spec -> concat -> POST /vocode.
         Verify wire-format compatibility end to end."""

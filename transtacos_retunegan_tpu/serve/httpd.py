@@ -106,7 +106,17 @@ def make_handler(synth: Synthesizer, role: str):
             length = int(self.headers.get('Content-Length', 0))
             body = self.rfile.read(length)
             try:
-                if url.path == '/synth_spec' and role in ('acoustic', 'all'):
+                if url.path == '/synth_batch' and role in ('webui', 'all'):
+                    # batched synthesis: json {"texts": [...]} -> pickled
+                    # list of float32 waveforms (one decode scan for all)
+                    payload = json.loads(body)
+                    texts = payload['texts']
+                    neural = bool(payload.get('neural', True))
+                    wavs = synth.tts_batch(texts, neural=neural)
+                    self._send(200, pickle.dumps([w.astype(np.float32)
+                                                  for w in wavs]),
+                               'application/octet-stream')
+                elif url.path == '/synth_spec' and role in ('acoustic', 'all'):
                     payload = json.loads(body)
                     pinyin = payload['pinyin']
                     spec = synth.synthesize_spec(pinyin)   # [F, T] ... but the
