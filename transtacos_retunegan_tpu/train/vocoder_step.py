@@ -45,7 +45,11 @@ def make_optimizers(cfg: Config, steps_per_epoch: int
     hv = cfg.vocoder
     g = optax.adamw(_lr_schedule(hv.learning_rate_g, hv.lr_decay, steps_per_epoch),
                     b1=hv.adam_b1, b2=hv.adam_b2, weight_decay=0.01)
-    d = optax.adamw(_lr_schedule(hv.learning_rate_d, hv.lr_decay, steps_per_epoch),
+    # D takes d_train_times optimizer updates per train step; its schedule
+    # counts updates, so scale the epoch length to keep the reference's
+    # one-decay-per-epoch semantics (ExponentialLR stepped per epoch)
+    d = optax.adamw(_lr_schedule(hv.learning_rate_d, hv.lr_decay,
+                                 steps_per_epoch * hv.d_train_times),
                     b1=hv.adam_b1, b2=hv.adam_b2, weight_decay=0.01)
     return g, d
 
