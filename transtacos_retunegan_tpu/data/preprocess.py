@@ -237,6 +237,10 @@ def _run(labels: Dict[str, Tuple[str, str]], wav_dp: str, out_dp: str,
     else:
         metadata = [worker(it) for it in items]
     metadata = [mt for mt in metadata if mt is not None]
+    if not metadata:
+        raise ValueError(
+            'no utterances survived preprocessing -- check wav paths and that '
+            'metadata rows are name|pinyin|prds with per-syllable prosody marks')
     if DROPOUT_2SIGMA and len(metadata) > 8:
         metadata = filter_2sigma(metadata)
     stats = aggregate_stats(metadata, cfg.audio)
