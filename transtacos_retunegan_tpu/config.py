@@ -206,6 +206,11 @@ class VocoderConfig:
         (512, 256, 60),
     )
     phd_input: str = 'stft'       # ['phase', 'stft']
+    # channel-width multiplier for all discriminators (1.0 = reference
+    # widths).  Small power-of-two fractions (0.5, 0.25, 0.125) shrink the
+    # D stacks for dry-runs/CI so the jitted GAN step compiles in seconds
+    # on a virtual CPU mesh instead of minutes.
+    disc_width_mult: float = 1.0
 
     # loss switches (reference ``retunegan/hparam.py:85-91``)
     relative_gan_loss: bool = False

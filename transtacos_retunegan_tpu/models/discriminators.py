@@ -19,9 +19,22 @@ from ..config import Config
 from .vocoder_layers import WNConv, WNConv2d, lrelu
 
 
+def _scale_ch(ch: int, mult: float, groups: int = 1) -> Tuple[int, int]:
+    """Scale (features, groups) by a width multiplier, keeping features a
+    multiple of groups.  mult=1.0 is the identity (reference widths); small
+    power-of-two fractions are the intended dry-run/CI values."""
+    if mult >= 1.0:
+        return ch, groups
+    g = max(1, int(round(groups * mult)))
+    f = max(g, int(round(ch * mult)))
+    f = -(-f // g) * g
+    return f, g
+
+
 class DiscriminatorS(nn.Module):
     """MelGAN_small-flavor grouped-conv scale discriminator
     (reference ``discrminator.py:17-101``)."""
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -35,6 +48,8 @@ class DiscriminatorS(nn.Module):
             dict(features=512, kernel=5, stride=1, padding=2, groups=1),
         ]
         for i, sp in enumerate(specs):
+            sp['features'], sp['groups'] = _scale_ch(
+                sp['features'], self.width_mult, sp['groups'])
             x = WNConv(**sp, name=f'conv_{i}')(x)
             fmap.append(x)
             x = lrelu(x)
@@ -52,7 +67,7 @@ class MultiScaleDiscriminator(nn.Module):
         hv = self.cfg.vocoder
         rs, gs, fr, fg = [], [], [], []
         for i in range(hv.msd_layers):
-            d = DiscriminatorS(name=f'disc_{i}')
+            d = DiscriminatorS(hv.disc_width_mult, name=f'disc_{i}')
             sr, fmr = d(y)
             sg, fmg = d(y_hat)
             rs.append(sr); gs.append(sg); fr.append(fmr); fg.append(fmg)
@@ -78,6 +93,7 @@ class DiscriminatorP(nn.Module):
     """Period-folded 2D discriminator, HiFiGAN_small widths
     (reference ``discrminator.py:132-222``)."""
     period: int
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -91,10 +107,12 @@ class DiscriminatorP(nn.Module):
 
         fmap = []
         for i, ch in enumerate((32, 128, 256, 512)):
+            ch, _ = _scale_ch(ch, self.width_mult)
             x = WNConv2d(ch, (5, 1), (3, 1), (2, 0), name=f'conv_{i}')(x)
             fmap.append(x)
             x = lrelu(x)
-        x = WNConv2d(512, (5, 1), (1, 1), (2, 0), name='conv_4')(x)
+        x = WNConv2d(_scale_ch(512, self.width_mult)[0], (5, 1), (1, 1), (2, 0),
+                     name='conv_4')(x)
         fmap.append(x)
         x = lrelu(x)
         x = WNConv2d(1, (3, 1), (1, 1), (1, 0), name='conv_post')(x)
@@ -109,7 +127,8 @@ class MultiPeriodDiscriminator(nn.Module):
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         rs, gs, fr, fg = [], [], [], []
         for p in self.cfg.vocoder.mpd_periods:
-            d = DiscriminatorP(p, name=f'disc_p{p}')
+            d = DiscriminatorP(p, self.cfg.vocoder.disc_width_mult,
+                               name=f'disc_p{p}')
             sr, fmr = d(y)
             sg, fmg = d(y_hat)
             rs.append(sr); gs.append(sg); fr.append(fmr); fg.append(fmg)
@@ -119,6 +138,7 @@ class MultiPeriodDiscriminator(nn.Module):
 class StftDiscriminator(nn.Module):
     """2-channel (log-mag, phase/pi) spectrogram discriminator
     (reference ``discrminator.py:247-308``)."""
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -132,6 +152,7 @@ class StftDiscriminator(nn.Module):
             dict(features=512, kernel=(3, 3), stride=(1, 1), padding=(1, 1)),
         ]
         for i, sp in enumerate(specs):
+            sp['features'], _ = _scale_ch(sp['features'], self.width_mult)
             x = WNConv2d(**sp, name=f'conv_{i}')(x)
             fmap.append(x)
             x = lrelu(x)
@@ -148,7 +169,8 @@ class MultiStftDiscriminator(nn.Module):
     def __call__(self, specs_r: Sequence[jnp.ndarray], specs_g: Sequence[jnp.ndarray]):
         rs, gs, fr, fg = [], [], [], []
         for i, (sr_in, sg_in) in enumerate(zip(specs_r, specs_g)):
-            d = StftDiscriminator(name=f'disc_{i}')
+            d = StftDiscriminator(self.cfg.vocoder.disc_width_mult,
+                                  name=f'disc_{i}')
             sr, fmr = d(sr_in)
             sg, fmg = d(sg_in)
             rs.append(sr); gs.append(sg); fr.append(fmr); fg.append(fmg)
