@@ -4,11 +4,18 @@ DATA_ROOT  ?= $(HOME)/Data
 DATA_DIR   ?= $(DATA_ROOT)/$(DATASET).tts_processed
 ACOUSTIC_RUN ?= runs/acoustic
 VOCODER_RUN  ?= runs/vocoder
+NUM_DEVICES  ?= 0
+MODEL_PARALLEL ?= 1
+MESH_FLAGS = --num_devices $(NUM_DEVICES) --model_parallel $(MODEL_PARALLEL)
 
-.PHONY: test preprocess train-acoustic train-vocoder finetune-vocoder server stat bench clean
+.PHONY: test test-smoke preprocess train-acoustic train-vocoder finetune-vocoder server stat bench clean
 
 test:
 	python -m pytest tests/ -x -q
+
+# fast per-commit tier (<5 min): text/config/parallel/serving smoke subset
+test-smoke:
+	python -m pytest tests/ -x -q -m smoke
 
 preprocess:
 	python -m transtacos_retunegan_tpu.data.preprocess \
@@ -16,15 +23,15 @@ preprocess:
 
 train-acoustic:
 	python -m transtacos_retunegan_tpu.train.train_acoustic \
-		--data_dir $(DATA_DIR) --log_path $(ACOUSTIC_RUN)
+		--data_dir $(DATA_DIR) --log_path $(ACOUSTIC_RUN) $(MESH_FLAGS)
 
 train-vocoder:
 	python -m transtacos_retunegan_tpu.train.train_vocoder \
-		--data_dir $(DATA_DIR) --log_path $(VOCODER_RUN)
+		--data_dir $(DATA_DIR) --log_path $(VOCODER_RUN) $(MESH_FLAGS)
 
 finetune-vocoder:
 	python -m transtacos_retunegan_tpu.train.train_vocoder \
-		--data_dir $(DATA_DIR) --log_path $(VOCODER_RUN) --finetune
+		--data_dir $(DATA_DIR) --log_path $(VOCODER_RUN) --finetune $(MESH_FLAGS)
 
 server:
 	python -m transtacos_retunegan_tpu.serve.app \

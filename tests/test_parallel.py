@@ -13,6 +13,8 @@ from transtacos_retunegan_tpu.parallel import (make_mesh, replicate,
 from transtacos_retunegan_tpu.train.acoustic_step import init_state, train_step
 from transtacos_retunegan_tpu.text.symbols import get_vocab_size
 
+pytestmark = pytest.mark.smoke
+
 CFG = dataclasses.replace(
     Config(),
     acoustic=dataclasses.replace(

@@ -31,6 +31,7 @@ def synth():
 
 
 class TestPipeline:
+    @pytest.mark.smoke
     def test_synthesize_spec_contract(self, synth):
         spec = synth.synthesize_spec('ni3 hao3')
         assert spec.shape[0] == 1025          # DC restored

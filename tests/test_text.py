@@ -5,6 +5,8 @@ import pytest
 
 from transtacos_retunegan_tpu.text import frontend, g2p, phonology, symbols
 
+pytestmark = pytest.mark.smoke
+
 
 class TestPhonology:
     def test_inventory_sizes(self):

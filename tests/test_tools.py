@@ -1,9 +1,12 @@
 """Light tests for the tools package (corpus stats, param counts)."""
 
 import numpy as np
+import pytest
 
 from transtacos_retunegan_tpu.config import Config
 from transtacos_retunegan_tpu.tools import corpus_stats, param_counts
+
+pytestmark = pytest.mark.smoke
 
 
 class TestCorpusStats:

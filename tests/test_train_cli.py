@@ -86,6 +86,40 @@ class TestAcousticCLI:
         train_acoustic.train(args)
 
 
+class TestAcousticCLIMesh:
+    def test_two_steps_dp_tp(self, corpus, tmp_path):
+        """--num_devices wires the (data, model) mesh end-to-end through the
+        CLI: TP-sharded params, DP-sharded feeder batches (SURVEY §7.7)."""
+        from transtacos_retunegan_tpu.train import train_acoustic
+        cfg = tiny_cfg(batch_size=4)
+        cfg_path = cfg.save(str(tmp_path / 'cfgdir'))
+        args = types.SimpleNamespace(
+            data_dir=corpus, log_path=str(tmp_path / 'run'), config=cfg_path,
+            max_steps=2, log_interval=1, summary_interval=10,
+            checkpoint_interval=2, debug_nans=False, profile_dir=None,
+            profile_start=0, profile_steps=0, num_devices=8, model_parallel=2)
+        train_acoustic.train(args)
+        files = os.listdir(tmp_path / 'run')
+        assert any(f.startswith('ckpt_') for f in files)
+
+
+class TestVocoderCLIMesh:
+    def test_one_epoch_dp(self, corpus, tmp_path):
+        from transtacos_retunegan_tpu.train import train_vocoder
+        cfg = tiny_cfg(batch_size=4)
+        cfg = dataclasses.replace(
+            cfg, vocoder=dataclasses.replace(cfg.vocoder, disc_width_mult=0.25))
+        cfg_path = cfg.save(str(tmp_path / 'cfgdir'))
+        args = types.SimpleNamespace(
+            data_dir=corpus, log_path=str(tmp_path / 'run'), config=cfg_path,
+            finetune=True, epochs=1, stdout_interval=1, summary_interval=100,
+            validation_interval=100, checkpoint_interval=1, debug_nans=False,
+            num_devices=4, model_parallel=1)
+        train_vocoder.train(args)
+        files = os.listdir(tmp_path / 'run')
+        assert any(f.startswith('g_') for f in files)
+
+
 class TestVocoderCLI:
     def test_one_epoch(self, corpus, tmp_path):
         from transtacos_retunegan_tpu.train import train_vocoder

@@ -61,6 +61,24 @@ def train(args) -> None:
         state = restored
         logger.info(f'resumed from step {int(state.step)}')
 
+    # multi-chip: (data, model) mesh -- DP over the batch, TP shardings on
+    # whitelisted kernels; GSPMD inserts the collectives (SURVEY §2.4/§7.7)
+    mesh = None
+    num_devices = getattr(args, 'num_devices', 0)
+    if num_devices and num_devices > 1:
+        from ..parallel import (make_mesh, replicate, shard_batch,
+                                shard_params_tp)
+        mesh = make_mesh(num_devices,
+                         model_parallel=getattr(args, 'model_parallel', 1))
+        dp = mesh.shape['data']
+        assert cfg.acoustic.batch_size % dp == 0, \
+            f'batch_size {cfg.acoustic.batch_size} not divisible by data axis {dp}'
+        state = TrainState(state.step, shard_params_tp(mesh, state.params),
+                           replicate(mesh, state.opt_state),
+                           replicate(mesh, state.extra_vars))
+        logger.info(f'mesh: {dict(mesh.shape)} '
+                    f'({dp}-way DP x {mesh.shape["model"]}-way TP)')
+
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     max_steps = args.max_steps or cfg.acoustic.max_steps
 
@@ -78,6 +96,8 @@ def train(args) -> None:
         start = time.time()
         batch = first if first is not None else feeder.get_batch()
         first = None
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
         rng, sub = jax.random.split(rng)
         state, losses = train_step(cfg, state, batch, sub)
         step = int(state.step)
@@ -167,6 +187,10 @@ def main():
     p.add_argument('--log_interval', type=int, default=10)
     p.add_argument('--summary_interval', type=int, default=500)
     p.add_argument('--checkpoint_interval', type=int, default=1000)
+    p.add_argument('--num_devices', type=int, default=0,
+                   help='devices in the (data, model) mesh; 0/1 = single-device')
+    p.add_argument('--model_parallel', type=int, default=1,
+                   help='size of the model (TP) mesh axis')
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--profile_dir', default=None)
     p.add_argument('--profile_start', type=int, default=20)

@@ -65,11 +65,31 @@ def train(args) -> None:
         state = restored
         logger.info(f'resumed from step {int(state.step)} epoch {last_epoch}')
 
+    # multi-chip: pure DP over the batch (the right fit for a 2.7M-param
+    # generator); params/opt replicate, XLA inserts the gradient all-reduce
+    mesh = None
+    num_devices = getattr(args, 'num_devices', 0)
+    if num_devices and num_devices > 1:
+        from ..parallel import make_mesh, replicate, shard_batch
+        mesh = make_mesh(num_devices,
+                         model_parallel=getattr(args, 'model_parallel', 1))
+        dp = mesh.shape['data']
+        assert hv.batch_size % dp == 0, \
+            f'batch_size {hv.batch_size} not divisible by data axis {dp}'
+        state = type(state)(state.step,
+                            replicate(mesh, state.gen_params),
+                            replicate(mesh, state.gen_opt),
+                            replicate(mesh, state.disc_params),
+                            replicate(mesh, state.disc_opt))
+        logger.info(f'mesh: {dict(mesh.shape)} ({dp}-way DP)')
+
     for epoch in range(max(0, last_epoch), args.epochs):
         start_e = time.time()
         logger.info(f'>> Epoch {epoch + 1}')
         for batch in loader:
             start_b = time.time()
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
             rng, sub = jax.random.split(rng)
             state, m = gan_train_step(cfg, state, batch, sub, steps_per_epoch)
             step = int(state.step)
@@ -171,6 +191,10 @@ def main():
     p.add_argument('--summary_interval', type=int, default=250)
     p.add_argument('--validation_interval', type=int, default=1000)
     p.add_argument('--checkpoint_interval', type=int, default=1000)
+    p.add_argument('--num_devices', type=int, default=0,
+                   help='devices in the (data, model) mesh; 0/1 = single-device')
+    p.add_argument('--model_parallel', type=int, default=1,
+                   help='size of the model (TP) mesh axis')
     p.add_argument('--debug_nans', action='store_true', default=False)
     train(p.parse_args())
 
