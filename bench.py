@@ -6,6 +6,10 @@ template + RefineGAN_small vocoder at full default dims):
   * acoustic mel frames/sec (80-step AR scan -> 400 frames)
   * vocoder samples/sec (incl. the 4-iter GL template)
   * end-to-end RTF = synth_time / audio_duration
+  * training throughput: one jitted acoustic train step (batch 16 x 400
+    frames) and one jitted GAN step (batch 16 x 8192 samples, D x2 + G) at
+    reference batch geometry, vs the reference's 2.36 s/batch GAN anchor
+    (``retunegan/hparam.py:51``)
 
 Prints ONE JSON line; baseline is the driver's north-star RTF <= 0.05
 (>= 20x real time) per chip, so ``vs_baseline = 0.05 / rtf`` (>1 beats it).
@@ -29,6 +33,65 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+
+def _bench_train_steps(cfg):
+    """Steady-state train-step wall time at reference batch geometry.
+    Returns (acoustic_step_s, gan_step_s)."""
+    from transtacos_retunegan_tpu.text.symbols import get_vocab_size
+    from transtacos_retunegan_tpu.train.acoustic_step import (init_state,
+                                                              train_step)
+    from transtacos_retunegan_tpu.train.vocoder_step import (gan_train_step,
+                                                             init_gan_state)
+
+    rng = np.random.RandomState(0)
+    b, seg = cfg.vocoder.batch_size, cfg.audio.segment_size
+    steps_per_epoch = 568        # reference anchor, retunegan/hparam.py:102
+
+    vb = {
+        'mel': jnp.asarray(rng.randn(b, seg // 256, 80).astype(np.float32)),
+        'tmpl': jnp.asarray((rng.randn(b, seg) * 0.1).astype(np.float32)),
+        'wav': jnp.asarray((rng.randn(b, seg) * 0.1).astype(np.float32)),
+    }
+    gstate = init_gan_state(cfg, jax.random.PRNGKey(0), vb, steps_per_epoch)
+    gstate, m = gan_train_step(cfg, gstate, vb, jax.random.PRNGKey(1),
+                               steps_per_epoch)
+    float(m['loss_gen_all'])                     # compile + materialize
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        gstate, m = gan_train_step(cfg, gstate, vb, jax.random.PRNGKey(i),
+                                   steps_per_epoch)
+    float(m['loss_gen_all'])
+    gan_s = (time.perf_counter() - t0) / n
+    del gstate
+
+    n_txt, t = 32, 400   # ~reference avg utterance (307 frames) to bucket
+    ab = {
+        'text': jnp.asarray(np.stack(
+            [rng.randint(4, get_vocab_size(), (b, n_txt)),
+             rng.randint(0, 6, (b, n_txt))], -1).astype(np.int32)),
+        'text_lengths': jnp.full((b,), n_txt, jnp.int32),
+        'prds': jnp.asarray(rng.randint(0, 6, (b, n_txt)).astype(np.int32)),
+        'spec_lengths': jnp.full((b,), t, jnp.int32),
+        'mel_targets': jnp.asarray(rng.randn(b, t, 80).astype(np.float32)),
+        'mag_targets': jnp.asarray(rng.randn(b, t, 1024).astype(np.float32)),
+        'f0_targets': jnp.asarray(
+            rng.randint(0, cfg.audio.n_f0_bins, (b, t)).astype(np.int32)),
+        'c0_targets': jnp.asarray(rng.randint(0, 32, (b, t)).astype(np.int32)),
+        'stop_token_targets': jnp.zeros((b, t), jnp.float32),
+        'frame_loss_len': jnp.asarray(t, jnp.int32),
+        'text_loss_len': jnp.asarray(n_txt, jnp.int32),
+    }
+    astate = init_state(cfg, jax.random.PRNGKey(5), ab)
+    astate, al = train_step(cfg, astate, ab, jax.random.PRNGKey(6))
+    float(al['loss'])
+    t0 = time.perf_counter()
+    for i in range(n):
+        astate, al = train_step(cfg, astate, ab, jax.random.PRNGKey(i))
+    float(al['loss'])
+    ac_s = (time.perf_counter() - t0) / n
+    return ac_s, gan_s
 
 
 def main():
@@ -139,6 +202,13 @@ def main():
     float(jnp.sum(w))
     t_single = time.perf_counter() - t0
 
+    # (3) training throughput (free the inference params first; the GAN
+    # step holds G+D x3 + two optimizer states)
+    del mags, wavs, mag, wav, w
+    t0 = time.time()
+    ac_step_s, gan_step_s = _bench_train_steps(cfg)
+    print(f'# train-step bench {time.time() - t0:.1f}s', file=sys.stderr)
+
     rtf = (t_ac + t_vo) / audio_seconds
     result = {
         'metric': 'e2e_rtf',
@@ -155,6 +225,9 @@ def main():
             'mel_frames_per_s': round(t_frames / t_ac, 1),
             'vocoder_samples_per_s': round(t_frames * au.hop_length / t_vo, 1),
             'fused_pallas_decoder': use_fused,
+            'acoustic_step_ms': round(ac_step_s * 1000, 1),
+            'gan_step_ms': round(gan_step_s * 1000, 1),
+            'gan_step_vs_ref_2.36': round(2.36 / gan_step_s, 1),
         },
     }
     print(json.dumps(result))
