@@ -71,6 +71,32 @@ class TestPipeline:
         assert s_single.shape == s_batch.shape
         np.testing.assert_allclose(s_single, s_batch, rtol=1e-3, atol=1e-4)
 
+    def test_vocode_batch_matches_single(self, synth):
+        """The batched vocoder path is numerically the vmapped single path:
+        same spec + same key => same wav."""
+        import jax
+        spec = synth.synthesize_spec('ni3 hao3')
+        t_pad = -(-max(spec.shape[1], 64) // 64) * 64
+        pad = np.full((spec.shape[0], t_pad - spec.shape[1]),
+                      float(spec.min()), spec.dtype)
+        mag = np.concatenate([spec, pad], axis=1)
+        key = jax.random.PRNGKey(7)
+        w1 = np.asarray(synth._vocode_fn(t_pad)(synth.gen_params, mag, key))
+        wb = np.asarray(synth._vocode_batch_fn(t_pad)(
+            synth.gen_params, mag[None], key[None]))
+        np.testing.assert_allclose(w1, wb[0], rtol=1e-3, atol=1e-4)
+
+    def test_vocode_batch_lengths(self, synth):
+        """Mixed-length batch: each wav trims to its own spec length and the
+        batch pads to a power of two internally."""
+        specs = [synth.synthesize_spec(p)
+                 for p in ('a1', 'ni3 hao3 shi4 jie4', 'zhong1 guo2')]
+        wavs = synth.vocode_batch(specs)
+        assert len(wavs) == 3
+        for s, w in zip(specs, wavs):
+            assert len(w) == 256 * s.shape[1]
+            assert np.isfinite(w).all()
+
     def test_bucket_reuse(self, synth):
         # two different lengths within the same bucket share a compile
         synth.vocode(synth.synthesize_spec('a1'))
