@@ -68,6 +68,38 @@ class TestFusedDecoder:
         expect = np.where(fin_any, first + 1, STEPS) * CFG.acoustic.outputs_per_step
         np.testing.assert_array_equal(np.asarray(out['out_lengths']), expect)
 
+    def test_nondefault_prenet_and_gru_depths(self):
+        """Multi-layer prenet + 3 GRUs: the generalized fold/kernels match
+        the flax cell (round-1 fold_params asserted single-layer prenet and
+        hardcoded exactly 2 GRUs)."""
+        cfg = dataclasses.replace(
+            Config(),
+            acoustic=dataclasses.replace(
+                Config().acoustic, decoder_depth=64, attention_depth=16,
+                prenet_depths=(48, 32), decoder_layers=3, encoder_depth=32))
+        r = np.random.RandomState(3)
+        keys = jnp.asarray(r.randn(B, N, 16).astype(np.float32) * 0.3)
+        values = jnp.asarray(r.randn(B, N, 32).astype(np.float32) * 0.3)
+        lens = np.asarray([N, N - 7])
+        mask = jnp.asarray((np.arange(N)[None, :] < lens[:, None]).astype(np.float32))
+        attn = dec.AttentionParams(keys, values * mask[..., None], mask)
+
+        cell = dec.make_scanned_cell(cfg, 'infer')
+        carry = dec.init_carry(B, N, cfg)
+        xs = {'target_prev': jnp.zeros((STEPS, B, cfg.audio.n_mel))}
+        params = cell.init({'params': jax.random.PRNGKey(1)},
+                           (carry, attn, jnp.asarray(0.0)), xs)['params']
+        (_, _, _), ys = cell.apply({'params': params},
+                                   (dec.init_carry(B, N, cfg), attn,
+                                    jnp.asarray(0.0)), xs)
+        rr = cfg.acoustic.outputs_per_step
+        mel_r = ys['frames'].transpose(1, 0, 2).reshape(B, STEPS * rr,
+                                                        cfg.audio.n_mel)
+        out = F.fused_decode(params, cfg, attn.keys, attn.values, attn.mask,
+                             STEPS, interpret=True, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out['mel_outputs']),
+                                   np.asarray(mel_r), atol=2e-4)
+
     def test_bf16_close(self, setup):
         params, attn = setup
         mel_r, _, _, _ = run_flax(params, attn)

@@ -6,7 +6,8 @@ location conv, energy, softmax, context, projections, impute masking), each
 paying launch + HBM-latency overhead at [B<=16, 512]-sized operands.  This
 module collapses one decode step into TWO pallas kernels:
 
-  kernel A (gru_tower):  prenet -> input-feed proj -> residual GRU x2
+  kernel A (gru_tower):  prenet (n layers) -> input-feed proj -> residual
+           GRU x n (kernel factory; any prenet_depths/decoder_layers config)
   kernel B (attend_project): LSA (folded location conv as shift-matrix
            matmul) -> context -> frame/stop projections -> stop logic ->
            impute_finished state selection
@@ -42,20 +43,18 @@ except Exception:  # pragma: no cover
 
 
 class FoldedParams(NamedTuple):
-    """Packed decoder weights (bf16 matmul operands, f32 biases)."""
-    wp: jnp.ndarray      # prenet dense    [M, P]
-    bp: jnp.ndarray      # [P]
+    """Packed decoder weights (bf16 matmul operands, f32 biases).
+
+    ``prenet`` holds one (w [in, P_i], b [P_i]) pair per prenet layer;
+    ``grus`` one (wi [H, 3H] (r|z|n), bi [3H], wh [H, 3H], bhn [H]) tuple per
+    GRU layer -- both arbitrary-depth (any ``prenet_depths`` /
+    ``decoder_layers`` config).
+    """
+    prenet: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
     wx_p: jnp.ndarray    # input proj, prenet part  [P, H]
     wx_c: jnp.ndarray    # input proj, context part [D, H]
     bx: jnp.ndarray      # [H]
-    wi1: jnp.ndarray     # gru1 input kernel  [H, 3H]  (r|z|n)
-    bi1: jnp.ndarray     # [3H]
-    wh1: jnp.ndarray     # gru1 hidden kernel [H, 3H]
-    bhn1: jnp.ndarray    # [H]
-    wi2: jnp.ndarray
-    bi2: jnp.ndarray
-    wh2: jnp.ndarray
-    bhn2: jnp.ndarray
+    grus: Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], ...]
     wq: jnp.ndarray      # query proj [H, A]
     loc: jnp.ndarray     # folded location matrix [31, A]
     v: jnp.ndarray       # [A, 1]
@@ -71,8 +70,13 @@ class FoldedParams(NamedTuple):
 def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams:
     """Pack the flax ``decoder_cell`` param tree into kernel operands."""
     p = cell_params
-    assert 'dense_2' not in p['decoder_prenet'], \
-        'fused decoder supports single-layer prenet (default config)'
+
+    # prenet layers are dense_1..dense_n (models/layers.py::Prenet)
+    n_prenet = sum(1 for k in p['decoder_prenet'] if k.startswith('dense_'))
+    prenet = tuple(
+        (p['decoder_prenet'][f'dense_{i + 1}']['kernel'].astype(dtype),
+         p['decoder_prenet'][f'dense_{i + 1}']['bias'])
+        for i in range(n_prenet))
 
     def gru_pack(g):
         wi = jnp.concatenate([g['ir']['kernel'], g['iz']['kernel'],
@@ -83,24 +87,22 @@ def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams
                               g['hn']['kernel']], axis=1)
         return wi.astype(dtype), bi, wh.astype(dtype), g['hn']['bias']
 
-    wi1, bi1, wh1, bhn1 = gru_pack(p['gru_0'])
-    wi2, bi2, wh2, bhn2 = gru_pack(p['gru_1'])
+    n_gru = sum(1 for k in p if k.startswith('gru_'))
+    grus = tuple(gru_pack(p[f'gru_{i}']) for i in range(n_gru))
 
     wx = p['rnn_in_proj']['kernel']
-    prenet_out = p['decoder_prenet']['dense_1']['kernel'].shape[1]
+    prenet_out = prenet[-1][0].shape[1]
     lsa = p['lsa']
     wf = p['frame_projection']['kernel']
     ws = p['stop_projection']['kernel']
-    h = wi1.shape[0]
+    h = grus[0][0].shape[0]
 
     return FoldedParams(
-        wp=p['decoder_prenet']['dense_1']['kernel'].astype(dtype),
-        bp=p['decoder_prenet']['dense_1']['bias'],
+        prenet=prenet,
         wx_p=wx[:prenet_out].astype(dtype),
         wx_c=wx[prenet_out:].astype(dtype),
         bx=p['rnn_in_proj']['bias'],
-        wi1=wi1, bi1=bi1, wh1=wh1, bhn1=bhn1,
-        wi2=wi2, bi2=bi2, wh2=wh2, bhn2=bhn2,
+        grus=grus,
         wq=lsa['query_layer']['kernel'].astype(dtype),
         loc=fold_location_params(lsa['location_convolution']['kernel'],
                                  lsa['location_layer']['kernel']).astype(jnp.float32),
@@ -119,38 +121,57 @@ def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams
 # kernel A: prenet -> input-feed proj -> residual GRU x2
 # ---------------------------------------------------------------------------
 
-def _gru_tower_kernel(prev_ref, ctx_ref, h1_ref, h2_ref,
-                      wp_ref, bp_ref, wxp_ref, wxc_ref, bx_ref,
-                      wi1_ref, bi1_ref, wh1_ref, bhn1_ref,
-                      wi2_ref, bi2_ref, wh2_ref, bhn2_ref,
-                      rnn_ref, h1o_ref, h2o_ref):
-    f32 = jnp.float32
-    bf16 = wp_ref.dtype
-    prev = prev_ref[:, :]
-    prenet = jnp.maximum(
-        jnp.dot(prev.astype(bf16), wp_ref[:, :], preferred_element_type=f32)
-        + bp_ref[0, :], 0.0)
-    x = (jnp.dot(prenet.astype(bf16), wxp_ref[:, :], preferred_element_type=f32)
-         + jnp.dot(ctx_ref[:, :].astype(bf16), wxc_ref[:, :],
-                   preferred_element_type=f32)
-         + bx_ref[0, :])
+def _make_gru_tower_kernel(n_prenet: int, n_gru: int):
+    """Kernel factory: prenet (n layers) -> input-feed proj -> residual
+    GRU x n.  The ref layout is positional; see ``_call_gru_tower``."""
 
-    def gru(x, h, wi_ref, bi_ref, wh_ref, bhn_ref):
-        hsz = h.shape[-1]
-        gi = jnp.dot(x.astype(bf16), wi_ref[:, :], preferred_element_type=f32) \
-            + bi_ref[0, :]
-        gh = jnp.dot(h.astype(bf16), wh_ref[:, :], preferred_element_type=f32)
-        r = jax.nn.sigmoid(gi[:, :hsz] + gh[:, :hsz])
-        z = jax.nn.sigmoid(gi[:, hsz:2 * hsz] + gh[:, hsz:2 * hsz])
-        n = jnp.tanh(gi[:, 2 * hsz:] + r * (gh[:, 2 * hsz:] + bhn_ref[0, :]))
-        return (1.0 - z) * n + z * h
+    def kernel(*refs):
+        f32 = jnp.float32
+        i = 0
+        prev_ref, ctx_ref = refs[i], refs[i + 1]
+        i += 2
+        h_refs = refs[i:i + n_gru]
+        i += n_gru
+        prenet_refs = refs[i:i + 2 * n_prenet]
+        i += 2 * n_prenet
+        wxp_ref, wxc_ref, bx_ref = refs[i:i + 3]
+        i += 3
+        gru_refs = refs[i:i + 4 * n_gru]
+        i += 4 * n_gru
+        rnn_ref = refs[i]
+        ho_refs = refs[i + 1:i + 1 + n_gru]
 
-    h1 = gru(x, h1_ref[:, :], wi1_ref, bi1_ref, wh1_ref, bhn1_ref)
-    x1 = h1 + x                                     # ResidualWrapper
-    h2 = gru(x1, h2_ref[:, :], wi2_ref, bi2_ref, wh2_ref, bhn2_ref)
-    rnn_ref[:, :] = h2 + x1
-    h1o_ref[:, :] = h1
-    h2o_ref[:, :] = h2
+        bf16 = wxp_ref.dtype
+        act = prev_ref[:, :]
+        for j in range(n_prenet):
+            w_ref, b_ref = prenet_refs[2 * j], prenet_refs[2 * j + 1]
+            act = jnp.maximum(
+                jnp.dot(act.astype(bf16), w_ref[:, :],
+                        preferred_element_type=f32) + b_ref[0, :], 0.0)
+        x = (jnp.dot(act.astype(bf16), wxp_ref[:, :], preferred_element_type=f32)
+             + jnp.dot(ctx_ref[:, :].astype(bf16), wxc_ref[:, :],
+                       preferred_element_type=f32)
+             + bx_ref[0, :])
+
+        def gru(x, h, wi_ref, bi_ref, wh_ref, bhn_ref):
+            hsz = h.shape[-1]
+            gi = jnp.dot(x.astype(bf16), wi_ref[:, :],
+                         preferred_element_type=f32) + bi_ref[0, :]
+            gh = jnp.dot(h.astype(bf16), wh_ref[:, :],
+                         preferred_element_type=f32)
+            r = jax.nn.sigmoid(gi[:, :hsz] + gh[:, :hsz])
+            z = jax.nn.sigmoid(gi[:, hsz:2 * hsz] + gh[:, hsz:2 * hsz])
+            n = jnp.tanh(gi[:, 2 * hsz:] + r * (gh[:, 2 * hsz:] + bhn_ref[0, :]))
+            return (1.0 - z) * n + z * h
+
+        for j in range(n_gru):
+            wi_ref, bi_ref, wh_ref, bhn_ref = gru_refs[4 * j:4 * j + 4]
+            h_new = gru(x, h_refs[j][:, :], wi_ref, bi_ref, wh_ref, bhn_ref)
+            ho_refs[j][:, :] = h_new
+            x = h_new + x                               # ResidualWrapper
+        rnn_ref[:, :] = x
+
+    return kernel
 
 
 # ---------------------------------------------------------------------------
@@ -230,21 +251,26 @@ def _full_specs(shapes, spec):
             for s in shapes]
 
 
-def _call_gru_tower(fp: FoldedParams, prev, ctx, h1, h2, interpret: bool):
+def _call_gru_tower(fp: FoldedParams, prev, ctx, hs, interpret: bool):
+    """hs: tuple of per-layer GRU states [B, H].  Returns (rnn, new_hs)."""
     b = prev.shape[0]
-    h = h1.shape[-1]
+    h = hs[0].shape[-1]
+    n_gru = len(hs)
     spec = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
-    args = (prev, ctx, h1, h2,
-            fp.wp, fp.bp[None, :], fp.wx_p, fp.wx_c, fp.bx[None, :],
-            fp.wi1, fp.bi1[None, :], fp.wh1, fp.bhn1[None, :],
-            fp.wi2, fp.bi2[None, :], fp.wh2, fp.bhn2[None, :])
-    return pl.pallas_call(
-        _gru_tower_kernel,
+    args = (prev, ctx, *hs)
+    for w, bias in fp.prenet:
+        args += (w, bias[None, :])
+    args += (fp.wx_p, fp.wx_c, fp.bx[None, :])
+    for wi, bi, wh, bhn in fp.grus:
+        args += (wi, bi[None, :], wh, bhn[None, :])
+    outs = pl.pallas_call(
+        _make_gru_tower_kernel(len(fp.prenet), n_gru),
         in_specs=_full_specs([a.shape for a in args], spec),
-        out_specs=_full_specs([(b, h), (b, h), (b, h)], spec),
-        out_shape=[jax.ShapeDtypeStruct((b, h), jnp.float32)] * 3,
+        out_specs=_full_specs([(b, h)] * (1 + n_gru), spec),
+        out_shape=[jax.ShapeDtypeStruct((b, h), jnp.float32)] * (1 + n_gru),
         interpret=interpret,
     )(*args)
+    return outs[0], tuple(outs[1:])
 
 
 def _call_attend_project(fp: FoldedParams, rnn, cum, keys, values, mask,
@@ -290,19 +316,20 @@ def fused_decode(cell_params: Dict[str, Any], cfg: Config,
     fp = fold_params(cell_params, dtype=dtype)
 
     def step(carry, _):
-        h1, h2, ctx, cum, prev, fin = carry
-        rnn, h1n, h2n = _call_gru_tower(fp, prev, ctx, h1, h2, interpret)
+        hs, ctx, cum, prev, fin = carry
+        rnn, hs_new = _call_gru_tower(fp, prev, ctx, hs, interpret)
         frames, stop, align, ctx_n, cum_n, prev_n, fin_n = _call_attend_project(
             fp, rnn, cum, keys, values, mask, fin, ctx, cum, prev,
             interpret)
         was_fin = fin > 0
-        h1n = jnp.where(was_fin, h1, h1n)
-        h2n = jnp.where(was_fin, h2, h2n)
-        new_carry = (h1n, h2n, ctx_n, cum_n, prev_n, fin_n)
+        hs_new = tuple(jnp.where(was_fin, h_old, h_new)
+                       for h_old, h_new in zip(hs, hs_new))
+        new_carry = (hs_new, ctx_n, cum_n, prev_n, fin_n)
         return new_carry, {'frames': frames, 'stop': stop, 'align': align,
                            'finished': fin_n[:, 0] > 0.5}
 
-    carry0 = (jnp.zeros((b, hp.decoder_depth)), jnp.zeros((b, hp.decoder_depth)),
+    carry0 = (tuple(jnp.zeros((b, hp.decoder_depth))
+                    for _ in range(len(fp.grus))),
               jnp.zeros((b, hp.encoder_depth)), jnp.zeros((b, n)),
               jnp.zeros((b, au.n_mel)), jnp.zeros((b, 1)))
     _, ys = jax.lax.scan(step, carry0, None, length=steps)
