@@ -35,6 +35,86 @@ class TestCorpusStats:
         assert 'zh' in inv['phones']
 
 
+TEXTGRID = '''File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 1.0
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 2
+        intervals [1]:
+            xmin = 0
+            xmax = 0.4
+            text = "ni3"
+        intervals [2]:
+            xmin = 0.4
+            xmax = 1.0
+            text = "hao3"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0
+            xmax = 0.2
+            text = "n"
+        intervals [2]:
+            xmin = 0.2
+            xmax = 0.4
+            text = "i"
+        intervals [3]:
+            xmin = 0.4
+            xmax = 1.0
+            text = "h"
+'''
+
+
+class TestTextGrid:
+    def test_parse_and_stats(self, tmp_path):
+        """First-party Praat parser + per-label duration stats
+        (reference ``stats/DataBaker_gen_stat.py:1-33``)."""
+        (tmp_path / 'utt0.TextGrid').write_text(TEXTGRID, encoding='utf-8')
+        tiers = corpus_stats.read_textgrid(str(tmp_path / 'utt0.TextGrid'))
+        assert set(tiers) == {'words', 'phones'}
+        assert tiers['words'] == [(0.0, 0.4, 'ni3'), (0.4, 1.0, 'hao3')]
+
+        stats = corpus_stats.textgrid_duration_stats(str(tmp_path), 'phones')
+        assert stats['n']['freq'] == 1
+        assert stats['h']['mean'] == pytest.approx(0.6)
+
+        out_csv = tmp_path / 'stat-phones.csv'
+        corpus_stats.write_duration_csv(stats, str(out_csv))
+        lines = out_csv.read_text().strip().split('\n')
+        assert lines[0] == ',freq,mean,std,min,max'
+        assert len(lines) == 4
+
+
+class TestVbanks:
+    def test_speaker_split(self, tmp_path):
+        """THCHS-30 voice-bank splits (``stats/thchs30_gen_vbanks.py``)."""
+        rows = ['A8_17|000|ni3 hao3',       # male
+                'B8_3|00|da4 jia1',         # male
+                'A2_1|0|hao3',              # female_power
+                'A13_9|00|zai4 jian4',      # child
+                'Z9_1|0|wu2']               # unknown speaker: in no bank
+        (tmp_path / 'train.txt').write_text('\n'.join(rows), encoding='utf-8')
+        counts = corpus_stats.gen_vbanks(str(tmp_path))
+        assert counts == {'male': 2, 'female_power': 1, 'female_soft': 0,
+                          'child': 1}
+        male = (tmp_path / 'vbank_male.txt').read_text().strip().split('\n')
+        assert male == ['A8_17|000|ni3 hao3', 'B8_3|00|da4 jia1']
+        assert (tmp_path / 'vbank_female_soft.txt').read_text() == ''
+
+
 class TestParamCounts:
     def test_reference_parity(self):
         counts = param_counts.generator_counts(Config())

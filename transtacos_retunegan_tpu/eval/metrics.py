@@ -80,11 +80,74 @@ def pesq_wb(y: np.ndarray, y_hat: np.ndarray, sr: int) -> Optional[float]:
     return float(pesq(16000, y, y_hat, 'wb'))
 
 
+def _bark_filterbank(sr: int, n_fft: int, n_bands: int = 24) -> np.ndarray:
+    """Triangular filters equally spaced on the bark scale (Zwicker)."""
+    freqs = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
+    bark = 13.0 * np.arctan(0.00076 * freqs) \
+        + 3.5 * np.arctan((freqs / 7500.0) ** 2)
+    edges = np.linspace(0.0, bark[-1], n_bands + 2)
+    fb = np.zeros((n_bands, len(freqs)))
+    for i in range(n_bands):
+        lo, ce, hi = edges[i], edges[i + 1], edges[i + 2]
+        up = (bark - lo) / max(ce - lo, 1e-9)
+        down = (hi - bark) / max(hi - ce, 1e-9)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def pesq_proxy(y: np.ndarray, y_hat: np.ndarray, sr: int) -> float:
+    """First-party PESQ-inspired quality proxy in [1.0, 4.5].
+
+    The ``pesq`` package is absent in this image, so the reference's
+    objective-quality capability (``retunegan/tools/test_pesq.py:17-34``)
+    would otherwise never report a number.  This follows P.862's shape --
+    16 kHz, gain alignment, bark-band loudness (power^0.23), symmetric +
+    asymmetric (additive-noise-weighted) disturbances mapped to a MOS-like
+    scale -- but is NOT ITU-calibrated: use it as a monotonic relative
+    score, not an absolute PESQ value.
+    """
+    y, y_hat = align_lengths(np.asarray(y, np.float64),
+                             np.asarray(y_hat, np.float64))
+    if sr != 16000:
+        g = np.gcd(sr, 16000)
+        y = sps.resample_poly(y, 16000 // g, sr // g)
+        y_hat = sps.resample_poly(y_hat, 16000 // g, sr // g)
+    # gain alignment on overall active power
+    p_ref = np.mean(y ** 2) + 1e-20
+    y_hat = y_hat * np.sqrt(p_ref / (np.mean(y_hat ** 2) + 1e-20))
+
+    n_fft, hop = 512, 256                     # 32 ms frames, 50% overlap
+    win = np.hanning(n_fft)
+    n = (len(y) - n_fft) // hop + 1
+    if n < 2:
+        return 4.5 if np.allclose(y, y_hat) else 1.0
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+    p_r = np.abs(np.fft.rfft(y[idx] * win, axis=1)) ** 2
+    p_d = np.abs(np.fft.rfft(y_hat[idx] * win, axis=1)) ** 2
+    fb = _bark_filterbank(16000, n_fft)
+    l_r = (p_r @ fb.T + 1e-12) ** 0.23        # loudness-domain bands
+    l_d = (p_d @ fb.T + 1e-12) ** 0.23
+    # score only frames where the reference is active
+    active = np.mean(l_r, axis=1) > 0.3 * np.mean(l_r)
+    if not active.any():
+        active = np.ones(n, bool)
+    diff = l_d[active] - l_r[active]
+    norm = np.mean(l_r[active]) + 1e-12
+    d_sym = np.mean(np.abs(diff)) / norm
+    d_asym = (np.mean(np.clip(diff, 0.0, None) ** 2) ** 0.5) / norm
+    d = d_sym + 0.5 * d_asym
+    # monotone saturating map: d=0 -> 4.5; d ~0.8 (20 dB SNR) -> ~3;
+    # d ~2.3 (0 dB SNR) -> ~1.7; asymptote 1.0
+    score = 1.0 + 3.5 / (1.0 + (d / 1.0) ** 1.5)
+    return float(np.clip(score, 1.0, 4.5))
+
+
 def evaluate_pair(y: np.ndarray, y_hat: np.ndarray, cfg: Config) -> Dict[str, float]:
     out = {
         'mstft': multi_stft_distance(y, y_hat, cfg),
         'mcd': mel_cepstral_distortion(y, y_hat, cfg.audio),
         'snr_db': snr_db(y, y_hat),
+        'pesq_proxy': pesq_proxy(y, y_hat, cfg.audio.sample_rate),
     }
     p = pesq_wb(y, y_hat, cfg.audio.sample_rate)
     if p is not None:

@@ -176,6 +176,15 @@ def _dump_eval(cfg, state: TrainState, batch, log_path, step, logger, sw):
     if sw is not None:
         sw.add_image('alignment', align[None], step)
         sw.add_image('E_text_sim', np.asarray(out['E_text_sim'])[None], step)
+        # per-head self/cross-attention maps (reference ``tacotron.py:302-313``
+        # logs every head; round 1 logged only the decoder alignment)
+        for i, layer in enumerate(out.get('slf_attn', [])):
+            for h, att in enumerate(layer):
+                sw.add_image(f'attn_self/l{i}_h{h}',
+                             np.asarray(att[0])[None], step)
+        for j, att in enumerate(out.get('crx_attn', [])):
+            name = ('f0', 'c0')[j] if j < 2 else str(j)
+            sw.add_image(f'attn_cross/{name}', np.asarray(att[0])[None], step)
 
 
 def main():
