@@ -235,6 +235,9 @@ class VocoderConfig:
     w_loss_dyn: float = 4.0
     w_loss_sm: float = 0.01
     lrelu_slope: float = 0.15     # reference ``retunegan/utils.py:11``
+    # optional G/D global-norm gradient clip; 0 = off (reference has none).
+    # A stability guard for corpora where the discriminators saturate early.
+    grad_clip_norm: float = 0.0
 
     @property
     def split_cv(self) -> bool:

@@ -52,6 +52,15 @@ def build_corpus(base: str, cfg: Config, n_utts: int = 32) -> str:
                                  + rng.rand() * 6.28)
         y = env * (0.5 * np.sin(phase) + 0.2 * np.sin(2 * phase)
                    + 0.08 * np.sin(3 * phase))
+        # broadband 'consonant' bursts + breath noise: without these the
+        # discriminators separate real/fake trivially and the GAN collapses
+        # to the D-wins asymptote (observed: mstft degrades then flatlines)
+        noise = rng.randn(dur) * 0.05
+        burst_env = np.zeros(dur)
+        for _ in range(int(3 + rng.randint(0, 4))):
+            c = int(rng.rand() * (dur - 800))
+            burst_env[c:c + 800] = np.hanning(800)
+        y = y * (1 - 0.7 * burst_env) + noise * (0.15 + 2.0 * burst_env)
         y = (y + 0.003 * rng.randn(dur)).astype(np.float32)
         F.save_wav(y, f'{base}/wavs/u{i:03d}.wav', cfg.audio)
         rows.append(f'u{i:03d}|{py}|{"0" * (n_syl - 1)}4')
@@ -63,8 +72,15 @@ def build_corpus(base: str, cfg: Config, n_utts: int = 32) -> str:
 
 
 def run_cli(module: str, cli_args: list, timeout: int = 14400) -> str:
+    env = dict(os.environ)
+    # persistent XLA executable cache: compiles through this environment's
+    # remote tunnel are minutes each, so cache across runs (same as bench.py)
+    cache = os.path.join(os.getcwd(), '.jax_cache')
+    env.setdefault('JAX_COMPILATION_CACHE_DIR', cache)
+    env.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
     r = subprocess.run([sys.executable, '-m', module] + cli_args,
-                       capture_output=True, text=True, timeout=timeout)
+                       capture_output=True, text=True, timeout=timeout,
+                       env=env)
     if r.returncode != 0:
         print(r.stdout[-3000:])
         print(r.stderr[-3000:])
@@ -89,6 +105,8 @@ def main():
     p.add_argument('--acoustic_steps', type=int, default=2000)
     p.add_argument('--gan_steps', type=int, default=1500)
     p.add_argument('--n_utts', type=int, default=32)
+    p.add_argument('--skip_acoustic', action='store_true', default=False)
+    p.add_argument('--skip_gan', action='store_true', default=False)
     p.add_argument('--workdir', default=None)
     args = p.parse_args()
 
@@ -98,29 +116,53 @@ def main():
     data_dir = build_corpus(base, cfg, args.n_utts)
     print(f'# corpus at {data_dir}', flush=True)
 
+    # one compile key: every batch pads to the same (text, frame) bucket --
+    # corpus utterances are <=11 syllables / <=2.5 s, so 16 / 320 cover all
+    import dataclasses
+    acfg = dataclasses.replace(
+        cfg,
+        acoustic=dataclasses.replace(cfg.acoustic, frame_bucket=320),
+        # full-size Ds saturate within ~50 steps on this tiny synthetic
+        # corpus and G gradients blow up; clip keeps the session stable
+        # (knob is off by default in VocoderConfig = reference semantics)
+        # d_train_times=1 for this session: at 2 the Ds still overpower G
+        # on a tiny corpus (reference value 2 is tuned for 9.5 h DataBaker)
+        vocoder=dataclasses.replace(cfg.vocoder, grad_clip_norm=100.0,
+                                    d_train_times=1))
+    cfg_path = acfg.save(f'{base}/cfg')
+
     # ---- acoustic model, default dims, batch 16
-    out = run_cli('transtacos_retunegan_tpu.train.train_acoustic',
-                  ['--data_dir', data_dir, '--log_path', f'{base}/ac_run',
-                   '--max_steps', str(args.acoustic_steps),
-                   '--log_interval', '20',
-                   '--checkpoint_interval', str(args.acoustic_steps)])
+    if args.skip_acoustic:
+        out = ''
+    else:
+        out = run_cli(
+            'transtacos_retunegan_tpu.train.train_acoustic',
+            ['--data_dir', data_dir, '--log_path', f'{base}/ac_run',
+             '--config', cfg_path,
+             '--max_steps', str(args.acoustic_steps),
+             '--log_interval', str(max(1, min(20, args.acoustic_steps // 10))),
+             '--checkpoint_interval', str(args.acoustic_steps)])
     steps = [int(x) for x in re.findall(r'step (\d+) \[', out)]
     loss = parse_series(out, r'loss (\d+\.\d+),')
     mel = parse_series(out, r'mel (\d+\.\d+)')
     stop = parse_series(out, r'stop (\d+\.\d+)')
-    with open(os.path.join(args.out_dir, 'acoustic_loss.csv'), 'w') as fh:
-        fh.write('step,loss,mel_loss,stop_loss\n')
-        for i in range(min(len(steps), len(loss), len(mel), len(stop))):
-            fh.write(f'{steps[i]},{loss[i]},{mel[i]},{stop[i]}\n')
-    print(f'# acoustic: loss {loss[0]:.3f} -> {loss[-1]:.3f} '
-          f'over {steps[-1]} steps', flush=True)
+    if steps:
+        with open(os.path.join(args.out_dir, 'acoustic_loss.csv'), 'w') as fh:
+            fh.write('step,loss,mel_loss,stop_loss\n')
+            for i in range(min(len(steps), len(loss), len(mel), len(stop))):
+                fh.write(f'{steps[i]},{loss[i]},{mel[i]},{stop[i]}\n')
+        print(f'# acoustic: loss {loss[0]:.3f} -> {loss[-1]:.3f} '
+              f'over {steps[-1]} steps', flush=True)
 
     # ---- vocoder GAN, default RefineGAN_small + full discriminators
+    if args.skip_gan:
+        return
     epochs = max(1, args.gan_steps // max(1, args.n_utts // 16))
     out = run_cli('transtacos_retunegan_tpu.train.train_vocoder',
                   ['--data_dir', data_dir, '--log_path', f'{base}/vo_run',
+                   '--config', cfg_path,
                    '--finetune', '--epochs', str(epochs),
-                   '--stdout_interval', '10',
+                   '--stdout_interval', str(max(1, min(10, args.gan_steps // 10))),
                    '--checkpoint_interval', str(args.gan_steps),
                    '--validation_interval', str(args.gan_steps),
                    '--summary_interval', str(args.gan_steps)])

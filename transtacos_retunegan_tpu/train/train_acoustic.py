@@ -82,42 +82,50 @@ def train(args) -> None:
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     max_steps = args.max_steps or cfg.acoustic.max_steps
 
+    # Host-side step counter: reading ``state.step``/losses from the device
+    # every iteration forces a per-step sync, which stalls the dispatch
+    # queue (on remote-attached hardware that dominates: ~0.6 s/step vs a
+    # 15 ms device step).  Sync only at log_interval; the explosion guard
+    # (reference ``train.py:89-91``) consequently fires within log_interval
+    # steps of the explosion rather than immediately.
+    step = int(state.step)
     profiling = False
-    while int(state.step) < max_steps:
+    last_t = time.time()
+    while step < max_steps:
         # XLA-level profiler window (view with tensorboard/xprof); replaces
         # the reference's env-level --xla_hlo_profile (``train.py:22-23``)
-        if args.profile_dir and int(state.step) == args.profile_start:
+        if args.profile_dir and step == args.profile_start:
             jax.profiler.start_trace(args.profile_dir)
             profiling = True
-        if profiling and int(state.step) >= args.profile_start + args.profile_steps:
+        if profiling and step >= args.profile_start + args.profile_steps:
             jax.profiler.stop_trace()
             profiling = False
             logger.info(f'wrote profiler trace to {args.profile_dir}')
-        start = time.time()
         batch = first if first is not None else feeder.get_batch()
         first = None
         if mesh is not None:
             batch = shard_batch(mesh, batch)
         rng, sub = jax.random.split(rng)
         state, losses = train_step(cfg, state, batch, sub)
-        step = int(state.step)
-        loss = float(losses['loss'])
-        time_window.append(time.time() - start)
-        loss_window.append(loss)
+        step += 1
 
         if step % args.log_interval == 0:
+            loss = float(losses['loss'])             # drains the queue
+            now = time.time()
+            time_window.append((now - last_t) / args.log_interval)
+            last_t = now
+            loss_window.append(loss)
             logger.info(
                 f'step {step} [{time_window.average:.3f} s/step, '
                 f'loss {loss:.4f}, avg {loss_window.average:.4f}, '
                 f"mel {float(losses['mel_loss']):.4f} mag {float(losses['mag_loss']):.4f} "
                 f"stop {float(losses['stop_token_loss']):.4f} "
                 f"tfr {float(losses['tfr']):.3f}]")
-
-        # loss-explosion guard (reference ``train.py:89-91``)
-        if loss > 300 or not np.isfinite(loss):
-            logger.error(f'loss exploded to {loss} at step {step}, aborting')
-            feeder.stop()
-            raise SystemExit(1)
+            # loss-explosion guard (reference ``train.py:89-91``)
+            if loss > 300 or not np.isfinite(loss):
+                logger.error(f'loss exploded to {loss} at step {step}, aborting')
+                feeder.stop()
+                raise SystemExit(1)
 
         if sw is not None and step % args.summary_interval == 0:
             for k, v in losses.items():
@@ -127,9 +135,10 @@ def train(args) -> None:
             path = ckpt.save_acoustic(args.log_path, state)
             logger.info(f'saved checkpoint {path}')
             _dump_eval(cfg, state, batch, args.log_path, step, logger, sw)
+            last_t = time.time()                     # exclude eval dump time
 
     feeder.stop()
-    logger.info(f'training complete at step {int(state.step)}')
+    logger.info(f'training complete at step {step}')
 
 
 def _dump_eval(cfg, state: TrainState, batch, log_path, step, logger, sw):

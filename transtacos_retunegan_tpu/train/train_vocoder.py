@@ -83,21 +83,27 @@ def train(args) -> None:
                             replicate(mesh, state.disc_opt))
         logger.info(f'mesh: {dict(mesh.shape)} ({dp}-way DP)')
 
+    # host-side step counter: syncing ``state.step`` per batch stalls the
+    # dispatch queue (see train_acoustic.py); metrics sync at stdout_interval
+    step = int(state.step)
+    last_t = time.time()
     for epoch in range(max(0, last_epoch), args.epochs):
         start_e = time.time()
         logger.info(f'>> Epoch {epoch + 1}')
         for batch in loader:
-            start_b = time.time()
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             rng, sub = jax.random.split(rng)
             state, m = gan_train_step(cfg, state, batch, sub, steps_per_epoch)
-            step = int(state.step)
+            step += 1
 
             if step % args.stdout_interval == 0:
-                g = float(m['loss_gen_all'])
+                g = float(m['loss_gen_all'])         # drains the queue
+                now = time.time()
+                s_per_b = (now - last_t) / args.stdout_interval
+                last_t = now
                 logger.info(
-                    f'[{step} ({time.time() - start_b:.2f} s/b)]\n'
+                    f'[{step} ({s_per_b:.2f} s/b)]\n'
                     f"  total gen: {g:.3f}, g_s: {float(m['loss_gen_s']):.3f}, "
                     f"g_p: {float(m['loss_gen_p']):.3f}, g_t: {float(m['loss_gen_t']):.3f}, "
                     f"fm_s: {float(m['loss_fm_s']) * hv.w_loss_fm:.3f}, "
@@ -127,6 +133,7 @@ def train(args) -> None:
 
             if step % args.validation_interval == 0:
                 _validate(cfg, state, validset, step, logger, sw)
+                last_t = time.time()             # exclude validation time
 
         logger.info(f'<< Epoch {epoch + 1} took {time.time() - start_e:.2f}s')
 

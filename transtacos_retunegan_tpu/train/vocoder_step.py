@@ -43,14 +43,20 @@ def _lr_schedule(base: float, decay: float, steps_per_epoch: int):
 def make_optimizers(cfg: Config, steps_per_epoch: int
                     ) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
     hv = cfg.vocoder
-    g = optax.adamw(_lr_schedule(hv.learning_rate_g, hv.lr_decay, steps_per_epoch),
-                    b1=hv.adam_b1, b2=hv.adam_b2, weight_decay=0.01)
+    # optional global-norm clip (off by default = reference semantics; a
+    # stability guard for adversarial corpora where the Ds saturate)
+    clip = ([optax.clip_by_global_norm(hv.grad_clip_norm)]
+            if hv.grad_clip_norm > 0 else [])
+    g = optax.chain(*clip, optax.adamw(
+        _lr_schedule(hv.learning_rate_g, hv.lr_decay, steps_per_epoch),
+        b1=hv.adam_b1, b2=hv.adam_b2, weight_decay=0.01))
     # D takes d_train_times optimizer updates per train step; its schedule
     # counts updates, so scale the epoch length to keep the reference's
     # one-decay-per-epoch semantics (ExponentialLR stepped per epoch)
-    d = optax.adamw(_lr_schedule(hv.learning_rate_d, hv.lr_decay,
-                                 steps_per_epoch * hv.d_train_times),
-                    b1=hv.adam_b1, b2=hv.adam_b2, weight_decay=0.01)
+    d = optax.chain(*clip, optax.adamw(
+        _lr_schedule(hv.learning_rate_d, hv.lr_decay,
+                     steps_per_epoch * hv.d_train_times),
+        b1=hv.adam_b1, b2=hv.adam_b2, weight_decay=0.01))
     return g, d
 
 
@@ -150,8 +156,11 @@ def gan_train_step(cfg: Config, state: GANState, batch: Dict[str, Any],
     for _ in range(hv.d_train_times):
         (d_total, d_aux), dgrads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             disc_params)
-        # NaN guard (reference ``train.py:158``): skip the update on NaN
-        ok = jnp.isfinite(d_total)
+        # NaN guard (reference ``train.py:158``): skip the update when the
+        # loss OR any gradient is non-finite -- a finite loss with NaN/inf
+        # grads (e.g. through saturated-D backward paths) would otherwise
+        # poison the params in one step
+        ok = jnp.isfinite(d_total) & jnp.isfinite(optax.global_norm(dgrads))
         dgrads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), dgrads)
         updates, disc_opt = dopt.update(dgrads, disc_opt, disc_params)
         disc_params = optax.apply_updates(disc_params, updates)
@@ -188,7 +197,7 @@ def gan_train_step(cfg: Config, state: GANState, batch: Dict[str, Any],
 
     (g_total, g_aux), ggrads = jax.value_and_grad(g_loss_fn, has_aux=True)(
         state.gen_params)
-    ok = jnp.isfinite(g_total)
+    ok = jnp.isfinite(g_total) & jnp.isfinite(optax.global_norm(ggrads))
     ggrads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), ggrads)
     gupd, gen_opt = gopt.update(ggrads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, gupd)
