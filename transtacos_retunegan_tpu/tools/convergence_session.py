@@ -146,38 +146,59 @@ def main():
     loss = parse_series(out, r'loss (\d+\.\d+),')
     mel = parse_series(out, r'mel (\d+\.\d+)')
     stop = parse_series(out, r'stop (\d+\.\d+)')
+    acsv = os.path.join(args.out_dir, 'acoustic_loss.csv')
     if steps:
-        with open(os.path.join(args.out_dir, 'acoustic_loss.csv'), 'w') as fh:
+        with open(acsv, 'w') as fh:
             fh.write('step,loss,mel_loss,stop_loss\n')
             for i in range(min(len(steps), len(loss), len(mel), len(stop))):
                 fh.write(f'{steps[i]},{loss[i]},{mel[i]},{stop[i]}\n')
         print(f'# acoustic: loss {loss[0]:.3f} -> {loss[-1]:.3f} '
               f'over {steps[-1]} steps', flush=True)
+    elif os.path.exists(acsv):
+        # leg skipped: reuse the prior session's recorded curve in the report
+        rows = [ln.split(',') for ln in
+                open(acsv).read().strip().split('\n')[1:]]
+        steps = [int(r[0]) for r in rows]
+        loss = [float(r[1]) for r in rows]
+        mel = [float(r[2]) for r in rows]
+        stop = [float(r[3]) for r in rows]
 
     # ---- vocoder GAN, default RefineGAN_small + full discriminators
     if args.skip_gan:
-        return
-    epochs = max(1, args.gan_steps // max(1, args.n_utts // 16))
-    out = run_cli('transtacos_retunegan_tpu.train.train_vocoder',
-                  ['--data_dir', data_dir, '--log_path', f'{base}/vo_run',
-                   '--config', cfg_path,
-                   '--finetune', '--epochs', str(epochs),
-                   '--stdout_interval', str(max(1, min(10, args.gan_steps // 10))),
-                   '--checkpoint_interval', str(args.gan_steps),
-                   '--validation_interval', str(args.gan_steps),
-                   '--summary_interval', str(args.gan_steps)])
+        out = ''
+    else:
+        epochs = max(1, args.gan_steps // max(1, args.n_utts // 16))
+        out = run_cli(
+            'transtacos_retunegan_tpu.train.train_vocoder',
+            ['--data_dir', data_dir, '--log_path', f'{base}/vo_run',
+             '--config', cfg_path,
+             '--finetune', '--epochs', str(epochs),
+             '--stdout_interval', str(max(1, min(10, args.gan_steps // 10))),
+             '--checkpoint_interval', str(args.gan_steps),
+             '--validation_interval', str(args.gan_steps),
+             '--summary_interval', str(args.gan_steps)])
     gsteps = [int(x) for x in re.findall(r'\[(\d+) \(', out)]
     mstft = parse_series(out, r'mstft: (\d+\.\d+)')
     gen_all = parse_series(out, r'total gen: (\d+\.\d+)')
     sc_r = parse_series(out, r'sc_s_r: (-?\d+\.\d+)')
     sc_g = parse_series(out, r'sc_s_g: (-?\d+\.\d+)')
-    with open(os.path.join(args.out_dir, 'gan_loss.csv'), 'w') as fh:
-        fh.write('step,gen_total,mstft_weighted,msd_score_real,msd_score_fake\n')
-        for i in range(min(len(gsteps), len(mstft), len(gen_all),
-                           len(sc_r), len(sc_g))):
-            fh.write(f'{gsteps[i]},{gen_all[i]},{mstft[i]},{sc_r[i]},{sc_g[i]}\n')
-    print(f'# gan: mstft(w) {mstft[0]:.3f} -> {mstft[-1]:.3f} '
-          f'over {gsteps[-1]} steps', flush=True)
+    gcsv = os.path.join(args.out_dir, 'gan_loss.csv')
+    if gsteps:
+        with open(gcsv, 'w') as fh:
+            fh.write('step,gen_total,mstft_weighted,msd_score_real,msd_score_fake\n')
+            for i in range(min(len(gsteps), len(mstft), len(gen_all),
+                               len(sc_r), len(sc_g))):
+                fh.write(f'{gsteps[i]},{gen_all[i]},{mstft[i]},{sc_r[i]},{sc_g[i]}\n')
+        print(f'# gan: mstft(w) {mstft[0]:.3f} -> {mstft[-1]:.3f} '
+              f'over {gsteps[-1]} steps', flush=True)
+    elif os.path.exists(gcsv):
+        rows = [ln.split(',') for ln in
+                open(gcsv).read().strip().split('\n')[1:]]
+        gsteps = [int(r[0]) for r in rows]
+        gen_all = [float(r[1]) for r in rows]
+        mstft = [float(r[2]) for r in rows]
+        sc_r = [float(r[3]) for r in rows]
+        sc_g = [float(r[4]) for r in rows]
 
     # ---- markdown summary
     import jax
