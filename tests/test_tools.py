@@ -35,6 +35,23 @@ class TestCorpusStats:
         assert 'zh' in inv['phones']
 
 
+class TestGetLogger:
+    def test_file_handler_repoints_per_run(self, tmp_path):
+        """logging caches loggers by name; a second train run in the same
+        process must get its own log file (was: second run's rtg.log never
+        created -- flaky TestVocoderCLI failure when a mesh test ran first)."""
+        import os
+        from transtacos_retunegan_tpu.utils.logging import get_logger
+        l1 = get_logger('vocoder_t', str(tmp_path / 'a' / 'run.log'))
+        l1.info('one')
+        l2 = get_logger('vocoder_t', str(tmp_path / 'b' / 'run.log'))
+        l2.info('two')
+        assert (tmp_path / 'a' / 'run.log').exists()
+        assert (tmp_path / 'b' / 'run.log').exists()
+        assert 'two' not in (tmp_path / 'a' / 'run.log').read_text()
+        assert 'two' in (tmp_path / 'b' / 'run.log').read_text()
+
+
 TEXTGRID = '''File type = "ooTextFile"
 Object class = "TextGrid"
 

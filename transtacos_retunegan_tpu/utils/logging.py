@@ -14,15 +14,31 @@ from typing import Optional
 
 
 def get_logger(name: str, log_path: Optional[str] = None) -> logging.Logger:
+    """Dual stdout+file logger (reference ``transtacos/utils.py:14-38``).
+
+    ``logging`` caches loggers by name, so a second training run in the same
+    process (tests, notebooks) would otherwise silently keep writing to the
+    FIRST run's log file; the file handler is re-pointed per call instead.
+    """
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.propagate = False
-    if not logger.handlers:
-        fmt = logging.Formatter('%(asctime)s %(message)s', '%H:%M:%S')
+    fmt = logging.Formatter('%(asctime)s %(message)s', '%H:%M:%S')
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler)
+               for h in logger.handlers):
         sh = logging.StreamHandler(sys.stdout)
         sh.setFormatter(fmt)
         logger.addHandler(sh)
-        if log_path:
+    if log_path:
+        log_path = os.path.abspath(log_path)
+        for h in list(logger.handlers):
+            if isinstance(h, logging.FileHandler):
+                if h.baseFilename == log_path:
+                    break
+                logger.removeHandler(h)
+                h.close()
+        else:
             os.makedirs(os.path.dirname(log_path) or '.', exist_ok=True)
             fh = logging.FileHandler(log_path, 'a', encoding='utf-8')
             fh.setFormatter(fmt)
