@@ -188,3 +188,32 @@ class TestGANStep:
         y_g, metrics = gan_eval_step(cfg, state.gen_params, batch)
         assert y_g.shape == (1, SEG)
         assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+class TestGroupedDenseLowering:
+    def test_block_diag_dense_equivalence(self):
+        """Grouped conv == dense conv over the block-diagonal kernel, in both
+        forward and gradient (the TPU fast path for MSD backward)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from transtacos_retunegan_tpu.models.vocoder_layers import WNConv
+
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 16).astype(np.float32))
+        kw = dict(features=32, kernel=5, stride=2, padding=2, groups=4)
+        m_ref = WNConv(**kw, dense_groups=False)
+        m_dense = WNConv(**kw, dense_groups=True)
+        p = m_ref.init(jax.random.PRNGKey(0), x)['params']
+
+        y_ref = m_ref.apply({'params': p}, x)
+        y_dense = m_dense.apply({'params': p}, x)
+        np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_dense),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply({'params': p}, x) ** 2)
+        g_ref = jax.grad(loss(m_ref))(p)
+        g_dense = jax.grad(loss(m_dense))(p)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dense)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

@@ -41,10 +41,30 @@ def lrelu(x: jnp.ndarray, slope: float = LRELU_SLOPE) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+def _block_diag_dense(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Expand a grouped-conv kernel [K, Cin/G, F] to the equivalent dense
+    kernel [K, Cin, F] with zeros off the group blocks.
+
+    XLA:TPU lowers the *backward* pass of ``feature_group_count > 1`` convs
+    poorly (measured 2.6x slower than the plain dense conv despite 8-64x
+    fewer FLOPs at DiscriminatorS geometry); computing the grouped conv as a
+    dense conv over a block-diagonal kernel is numerically identical in both
+    the forward and backward directions (zero blocks contribute zero and
+    receive zero gradient) and runs on the fast dense path.
+    """
+    k, cin_g, f = w.shape
+    wg = w.reshape(k, cin_g, groups, f // groups)
+    dense = jnp.einsum('kcgf,hg->khcgf', wg, jnp.eye(groups, dtype=w.dtype))
+    return dense.reshape(k, cin_g * groups, f)
+
+
 class WNConv(nn.Module):
     """Weight-normalized 1D convolution, ``[B, T, Cin] -> [B, T', Cout]``.
 
     Matches ``weight_norm(Conv1d(...))`` with explicit symmetric padding.
+    Grouped convs compute through a block-diagonal dense kernel on TPU
+    (see ``_block_diag_dense``); ``dense_groups`` overrides the backend
+    auto-selection (for equivalence tests).
     """
     features: int
     kernel: int
@@ -52,6 +72,7 @@ class WNConv(nn.Module):
     dilation: int = 1
     groups: int = 1
     padding: int = -1          # -1 => torch 'same-ish' = dilation*(k//2)
+    dense_groups: bool = None  # None => auto (dense lowering on TPU)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -63,9 +84,15 @@ class WNConv(nn.Module):
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
         w = v * (g[None, None, :] / norm)
         b = self.param('b', nn.initializers.zeros, (self.features,))
+        dense = (self.dense_groups if self.dense_groups is not None
+                 else jax.default_backend() == 'tpu')
+        groups = self.groups
+        if groups > 1 and dense:
+            w = _block_diag_dense(w, groups)
+            groups = 1
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(self.stride,), padding=[(pad, pad)],
-            rhs_dilation=(self.dilation,), feature_group_count=self.groups,
+            rhs_dilation=(self.dilation,), feature_group_count=groups,
             dimension_numbers=('NHC', 'HIO', 'NHC'))
         return y + b
 
