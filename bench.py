@@ -57,7 +57,11 @@ def _bench_train_steps(cfg):
     gstate, m = gan_train_step(cfg, gstate, vb, jax.random.PRNGKey(1),
                                steps_per_epoch)
     float(m['loss_gen_all'])                     # compile + materialize
-    n = 5
+    for i in range(6):                           # steady-state warmup
+        gstate, m = gan_train_step(cfg, gstate, vb, jax.random.PRNGKey(i),
+                                   steps_per_epoch)
+    float(m['loss_gen_all'])
+    n = 10
     t0 = time.perf_counter()
     for i in range(n):
         gstate, m = gan_train_step(cfg, gstate, vb, jax.random.PRNGKey(i),
@@ -85,6 +89,9 @@ def _bench_train_steps(cfg):
     }
     astate = init_state(cfg, jax.random.PRNGKey(5), ab)
     astate, al = train_step(cfg, astate, ab, jax.random.PRNGKey(6))
+    float(al['loss'])
+    for i in range(6):                           # steady-state warmup
+        astate, al = train_step(cfg, astate, ab, jax.random.PRNGKey(i))
     float(al['loss'])
     t0 = time.perf_counter()
     for i in range(n):
@@ -179,6 +186,14 @@ def main():
     mag = acoustic(ac_params, text_j, lens_j)
     wav = vocode(gen_params, mag, key)
     float(jnp.sum(wav))
+
+    # steady-state warmup: the FIRST batch of executions after a compile
+    # runs ~7x slower on this backend (per-executable warmup); run one
+    # throwaway loop per stage so the measurement reflects production rate
+    warm = [acoustic(ac_params, text_j, lens_j) for _ in range(8)]
+    float(sum(jnp.sum(m) for m in warm))
+    warm = [vocode(gen_params, mag, key) for _ in range(8)]
+    float(sum(jnp.sum(w) for w in warm))
 
     # (1) sustained throughput at fixed QPS (BASELINE config 5): pipeline
     # n_rep requests, materialize once -- amortizes this harness's per-call

@@ -4,15 +4,15 @@ Profiling the 80-step decode scan on v5e showed ~1.3 ms/step: each step is
 ~30 small XLA kernels (prenet, input proj, 12 GRU matmul/elementwise ops,
 location conv, energy, softmax, context, projections, impute masking), each
 paying launch + HBM-latency overhead at [B<=16, 512]-sized operands.  This
-module collapses one decode step into TWO pallas kernels:
+module collapses one decode step into ONE pallas kernel launch:
+prenet (n layers) -> input-feed proj -> residual GRU x n -> LSA (folded
+location conv as shift-matrix matmul) -> context -> frame/stop projections
+-> stop logic -> impute_finished state selection (kernel factory: any
+prenet_depths/decoder_layers config).  A single launch halves the
+launch-latency of the original A/B two-kernel split (34.5 -> 17.0 ms for an
+80-step decode at batch 1 on v5e), which dominates at serving batch sizes.
 
-  kernel A (gru_tower):  prenet (n layers) -> input-feed proj -> residual
-           GRU x n (kernel factory; any prenet_depths/decoder_layers config)
-  kernel B (attend_project): LSA (folded location conv as shift-matrix
-           matmul) -> context -> frame/stop projections -> stop logic ->
-           impute_finished state selection
-
-consuming the *same* parameter tree the flax model trains (packed/folded at
+The kernel consumes the *same* parameter tree the flax model trains (packed/folded at
 trace time, which XLA hoists out of the scan).  GRU weights are carried in
 bfloat16 (f32 accumulation) so each kernel's operands fit comfortably in
 VMEM.  A pure-JAX reference path mirrors the math for interpret-mode
@@ -25,7 +25,7 @@ sigmoids >= .5; impute_finished zeroes emissions and holds state).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -117,14 +117,21 @@ def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams
     )
 
 
-# ---------------------------------------------------------------------------
-# kernel A: prenet -> input-feed proj -> residual GRU x2
-# ---------------------------------------------------------------------------
+def _full_specs(shapes, spec):
+    # n bound at definition time (late-binding lambdas would all see the
+    # last shape in the list)
+    return [pl.BlockSpec(s, lambda *_, n=len(s): (0,) * n, **spec)
+            for s in shapes]
 
-def _make_gru_tower_kernel(n_prenet: int, n_gru: int):
-    """Kernel factory: prenet (n layers) -> input-feed proj -> residual
-    GRU x n.  The ref layout is positional; see ``_call_gru_tower``."""
 
+# ---------------------------------------------------------------------------
+# single fully-fused step kernel (A+B in one launch)
+# ---------------------------------------------------------------------------
+# At serving batch sizes every matmul is tiny, so the decode scan is launch-
+# latency bound: 2 pallas launches x steps.  This kernel runs the whole step
+# (prenet -> GRU tower -> LSA -> projections -> stop/impute) in ONE launch.
+
+def _make_step_kernel(n_prenet: int, n_gru: int):
     def kernel(*refs):
         f32 = jnp.float32
         i = 0
@@ -132,16 +139,23 @@ def _make_gru_tower_kernel(n_prenet: int, n_gru: int):
         i += 2
         h_refs = refs[i:i + n_gru]
         i += n_gru
+        cum_ref, keys_ref, values_ref, mask_ref, finished_ref = refs[i:i + 5]
+        i += 5
         prenet_refs = refs[i:i + 2 * n_prenet]
         i += 2 * n_prenet
         wxp_ref, wxc_ref, bx_ref = refs[i:i + 3]
         i += 3
         gru_refs = refs[i:i + 4 * n_gru]
         i += 4 * n_gru
-        rnn_ref = refs[i]
-        ho_refs = refs[i + 1:i + 1 + n_gru]
+        (wq_ref, loc_ref, v_ref, ba_ref, wfr_ref, wfc_ref, bf_ref,
+         wsr_ref, wsc_ref, bs_ref) = refs[i:i + 10]
+        i += 10
+        frames_ref, stop_ref, align_ref, ctxo_ref, cumo_ref, prevo_ref, \
+            fin_ref = refs[i:i + 7]
+        ho_refs = refs[i + 7:i + 7 + n_gru]
 
         bf16 = wxp_ref.dtype
+        # ---- gru tower
         act = prev_ref[:, :]
         for j in range(n_prenet):
             w_ref, b_ref = prenet_refs[2 * j], prenet_refs[2 * j + 1]
@@ -164,136 +178,95 @@ def _make_gru_tower_kernel(n_prenet: int, n_gru: int):
             n = jnp.tanh(gi[:, 2 * hsz:] + r * (gh[:, 2 * hsz:] + bhn_ref[0, :]))
             return (1.0 - z) * n + z * h
 
+        was_fin = finished_ref[:, :]                     # [B, 1] float
+        h_news = []
         for j in range(n_gru):
             wi_ref, bi_ref, wh_ref, bhn_ref = gru_refs[4 * j:4 * j + 4]
             h_new = gru(x, h_refs[j][:, :], wi_ref, bi_ref, wh_ref, bhn_ref)
-            ho_refs[j][:, :] = h_new
+            h_news.append(h_new)
             x = h_new + x                               # ResidualWrapper
-        rnn_ref[:, :] = x
+        rnn = x
+
+        # ---- LSA + context + projections (kernel B math)
+        b, n = cum_ref.shape
+        kwin = loc_ref.shape[0]
+        half = kwin // 2
+        q = jnp.dot(rnn.astype(bf16), wq_ref[:, :], preferred_element_type=f32)
+        a_dim = loc_ref.shape[1]
+        zpad = jnp.zeros((b, half), f32)
+        cum_pad = jnp.concatenate([zpad, cum_ref[:, :], zpad], axis=1)
+        loc = jnp.zeros((b, n, a_dim), f32)
+        for k in range(kwin):
+            w_k = cum_pad[:, k:k + n]
+            loc = loc + w_k[:, :, None] * loc_ref[k, :][None, None, :]
+
+        pre = jnp.tanh(keys_ref[:, :, :] + q[:, None, :] + loc + ba_ref[0, :])
+        e = jnp.dot(pre.reshape(b * n, a_dim), v_ref[:, :],
+                    preferred_element_type=f32).reshape(b, n)
+        mask = mask_ref[:, :]
+        e = jnp.where(mask > 0, e, -1e30)
+        m = jnp.max(e, axis=-1, keepdims=True)
+        w = jnp.exp(e - m) * (mask > 0)
+        align = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-30)
+        ctx = jnp.sum(align[:, :, None] * values_ref[:, :, :], axis=1)
+
+        frames = (jnp.dot(rnn.astype(bf16), wfr_ref[:, :], preferred_element_type=f32)
+                  + jnp.dot(ctx.astype(bf16), wfc_ref[:, :], preferred_element_type=f32)
+                  + bf_ref[0, :])
+        stop_logit = (jnp.dot(rnn.astype(bf16), wsr_ref[:, :], preferred_element_type=f32)
+                      + jnp.dot(ctx.astype(bf16), wsc_ref[:, :], preferred_element_type=f32)
+                      + bs_ref[0, :])
+        stop_prob = jax.nn.sigmoid(stop_logit)
+
+        newly = jnp.max((stop_prob >= 0.5).astype(f32), axis=-1, keepdims=True)
+        fin = jnp.maximum(was_fin, newly)
+        n_mel = prevo_ref.shape[-1]
+        alive = 1.0 - was_fin
+        frames = frames * alive
+        prev_new = frames[:, -n_mel:]
+
+        frames_ref[:, :] = frames
+        stop_ref[:, :] = stop_prob
+        align_ref[:, :] = align
+        ctxo_ref[:, :] = jnp.where(was_fin > 0, ctx_ref[:, :], ctx)
+        cumo_ref[:, :] = jnp.where(was_fin > 0, cum_ref[:, :],
+                                   cum_ref[:, :] + align)
+        prevo_ref[:, :] = jnp.where(was_fin > 0, prev_ref[:, :], prev_new)
+        fin_ref[:, :] = fin
+        for j in range(n_gru):
+            ho_refs[j][:, :] = jnp.where(was_fin > 0, h_refs[j][:, :], h_news[j])
 
     return kernel
 
 
-# ---------------------------------------------------------------------------
-# kernel B: LSA + context + projections + stop/impute logic
-# ---------------------------------------------------------------------------
-
-def _attend_project_kernel(rnn_ref, cum_ref, keys_ref, values_ref, mask_ref,
-                           finished_ref,
-                           old_ctx_ref, old_cum_ref, old_prev_ref,
-                           wq_ref, loc_ref, v_ref, ba_ref,
-                           wfr_ref, wfc_ref, bf_ref, wsr_ref, wsc_ref, bs_ref,
-                           frames_ref, stop_ref, align_ref,
-                           ctx_ref, cum_out_ref, prev_ref, fin_ref):
-    f32 = jnp.float32
-    bf16 = wq_ref.dtype
-    b, n = cum_ref.shape
-    kwin = loc_ref.shape[0]
-    half = kwin // 2
-    rnn = rnn_ref[:, :]
-
-    q = jnp.dot(rnn.astype(bf16), wq_ref[:, :], preferred_element_type=f32)
-
-    # location features as kwin static-sliced outer-product accumulates --
-    # Mosaic-safe (no lane-splitting reshapes, no >2-D dots):
-    #   loc[b, n, a] = sum_k cum[b, n + k - half] * lock[k, a]
-    a_dim = loc_ref.shape[1]
-    zpad = jnp.zeros((b, half), f32)
-    cum_pad = jnp.concatenate([zpad, cum_ref[:, :], zpad], axis=1)  # [B, N+30]
-    loc = jnp.zeros((b, n, a_dim), f32)
-    for k in range(kwin):
-        w_k = cum_pad[:, k:k + n]                              # [B, N]
-        loc = loc + w_k[:, :, None] * loc_ref[k, :][None, None, :]
-
-    pre = jnp.tanh(keys_ref[:, :, :] + q[:, None, :] + loc + ba_ref[0, :])
-    e = jnp.dot(pre.reshape(b * n, a_dim), v_ref[:, :],
-                preferred_element_type=f32).reshape(b, n)
-
-    mask = mask_ref[:, :]
-    e = jnp.where(mask > 0, e, -1e30)
-    m = jnp.max(e, axis=-1, keepdims=True)
-    w = jnp.exp(e - m) * (mask > 0)
-    align = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-30)
-
-    ctx = jnp.sum(align[:, :, None] * values_ref[:, :, :], axis=1)   # [B, D]
-
-    frames = (jnp.dot(rnn.astype(bf16), wfr_ref[:, :], preferred_element_type=f32)
-              + jnp.dot(ctx.astype(bf16), wfc_ref[:, :], preferred_element_type=f32)
-              + bf_ref[0, :])
-    stop_logit = (jnp.dot(rnn.astype(bf16), wsr_ref[:, :], preferred_element_type=f32)
-                  + jnp.dot(ctx.astype(bf16), wsc_ref[:, :], preferred_element_type=f32)
-                  + bs_ref[0, :])
-    stop_prob = jax.nn.sigmoid(stop_logit)
-
-    was_fin = finished_ref[:, :]                            # [B, 1] float
-    newly = jnp.max((stop_prob >= 0.5).astype(f32), axis=-1, keepdims=True)
-    fin = jnp.maximum(was_fin, newly)
-
-    n_mel = old_prev_ref.shape[-1]
-    alive = 1.0 - was_fin
-    frames = frames * alive
-    prev = frames[:, -n_mel:]
-
-    frames_ref[:, :] = frames
-    stop_ref[:, :] = stop_prob
-    align_ref[:, :] = align          # emitted raw, like the flax cell
-    ctx_ref[:, :] = jnp.where(was_fin > 0, old_ctx_ref[:, :], ctx)
-    cum_out_ref[:, :] = jnp.where(was_fin > 0, old_cum_ref[:, :],
-                                  cum_ref[:, :] + align)
-    prev_ref[:, :] = jnp.where(was_fin > 0, old_prev_ref[:, :], prev)
-    fin_ref[:, :] = fin
-
-
-def _full_specs(shapes, spec):
-    # n bound at definition time (late-binding lambdas would all see the
-    # last shape in the list)
-    return [pl.BlockSpec(s, lambda *_, n=len(s): (0,) * n, **spec)
-            for s in shapes]
-
-
-def _call_gru_tower(fp: FoldedParams, prev, ctx, hs, interpret: bool):
-    """hs: tuple of per-layer GRU states [B, H].  Returns (rnn, new_hs)."""
-    b = prev.shape[0]
+def _call_step(fp: FoldedParams, prev, ctx, hs, cum, keys, values, mask,
+               finished, interpret: bool):
+    b, n = cum.shape
     h = hs[0].shape[-1]
     n_gru = len(hs)
+    d = values.shape[-1]
+    rm = fp.bf.shape[0]
+    r = fp.bs.shape[0]
+    n_mel = prev.shape[-1]
     spec = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
-    args = (prev, ctx, *hs)
+    args = (prev, ctx, *hs, cum, keys, values, mask, finished)
     for w, bias in fp.prenet:
         args += (w, bias[None, :])
     args += (fp.wx_p, fp.wx_c, fp.bx[None, :])
     for wi, bi, wh, bhn in fp.grus:
         args += (wi, bi[None, :], wh, bhn[None, :])
-    outs = pl.pallas_call(
-        _make_gru_tower_kernel(len(fp.prenet), n_gru),
-        in_specs=_full_specs([a.shape for a in args], spec),
-        out_specs=_full_specs([(b, h)] * (1 + n_gru), spec),
-        out_shape=[jax.ShapeDtypeStruct((b, h), jnp.float32)] * (1 + n_gru),
-        interpret=interpret,
-    )(*args)
-    return outs[0], tuple(outs[1:])
-
-
-def _call_attend_project(fp: FoldedParams, rnn, cum, keys, values, mask,
-                         finished, old_ctx, old_cum, old_prev,
-                         interpret: bool):
-    b, n = cum.shape
-    d = values.shape[-1]
-    rm = fp.bf.shape[0]
-    r = fp.bs.shape[0]
-    n_mel = old_prev.shape[-1]
-    spec = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
-    args = (rnn, cum, keys, values, mask, finished,
-            old_ctx, old_cum, old_prev,
-            fp.wq, fp.loc, fp.v, fp.ba[None, :],
-            fp.wf_r, fp.wf_c, fp.bf[None, :], fp.ws_r, fp.ws_c, fp.bs[None, :])
-    outs = [(b, rm), (b, r), (b, n), (b, d), (b, n), (b, n_mel), (b, 1)]
-    return pl.pallas_call(
-        _attend_project_kernel,
+    args += (fp.wq, fp.loc, fp.v, fp.ba[None, :],
+             fp.wf_r, fp.wf_c, fp.bf[None, :], fp.ws_r, fp.ws_c, fp.bs[None, :])
+    outs = [(b, rm), (b, r), (b, n), (b, d), (b, n), (b, n_mel), (b, 1)] \
+        + [(b, h)] * n_gru
+    res = pl.pallas_call(
+        _make_step_kernel(len(fp.prenet), n_gru),
         in_specs=_full_specs([a.shape for a in args], spec),
         out_specs=_full_specs(outs, spec),
         out_shape=[jax.ShapeDtypeStruct(s, jnp.float32) for s in outs],
         interpret=interpret,
     )(*args)
+    return res[:7], tuple(res[7:])
 
 
 # ---------------------------------------------------------------------------
@@ -317,13 +290,9 @@ def fused_decode(cell_params: Dict[str, Any], cfg: Config,
 
     def step(carry, _):
         hs, ctx, cum, prev, fin = carry
-        rnn, hs_new = _call_gru_tower(fp, prev, ctx, hs, interpret)
-        frames, stop, align, ctx_n, cum_n, prev_n, fin_n = _call_attend_project(
-            fp, rnn, cum, keys, values, mask, fin, ctx, cum, prev,
-            interpret)
-        was_fin = fin > 0
-        hs_new = tuple(jnp.where(was_fin, h_old, h_new)
-                       for h_old, h_new in zip(hs, hs_new))
+        (frames, stop, align, ctx_n, cum_n, prev_n, fin_n), hs_new = \
+            _call_step(fp, prev, ctx, hs, cum, keys, values, mask, fin,
+                       interpret)
         new_carry = (hs_new, ctx_n, cum_n, prev_n, fin_n)
         return new_carry, {'frames': frames, 'stop': stop, 'align': align,
                            'finished': fin_n[:, 0] > 0.5}
