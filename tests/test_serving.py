@@ -97,6 +97,15 @@ class TestPipeline:
             assert len(w) == 256 * s.shape[1]
             assert np.isfinite(w).all()
 
+    def test_tts_fused_single_dispatch(self, synth):
+        """The one-dispatch text->wav surface produces finite audio whose
+        length matches the stop-token trim of the staged path."""
+        wav = synth.tts_fused('ni3 hao3')
+        assert wav.ndim == 1 and len(wav) > 0
+        assert np.isfinite(wav).all()
+        spec = synth.synthesize_spec('ni3 hao3')
+        assert len(wav) == 256 * spec.shape[1]
+
     def test_bucket_reuse(self, synth):
         # two different lengths within the same bucket share a compile
         synth.vocode(synth.synthesize_spec('a1'))

