@@ -86,6 +86,28 @@ class TestAcousticCLI:
         train_acoustic.train(args)
 
 
+class TestVbankSplit:
+    def test_acoustic_trains_on_vbank_index(self, corpus, tmp_path):
+        """--train_split consumes a voice-bank index produced by
+        corpus_stats.gen_vbanks (reference thchs30 vbank workflow)."""
+        from transtacos_retunegan_tpu.train import train_acoustic
+        rows = open(os.path.join(corpus, 'train.txt'),
+                    encoding='utf-8').read().strip().split('\n')
+        with open(os.path.join(corpus, 'vbank_test.txt'), 'w',
+                  encoding='utf-8') as fh:
+            fh.write('\n'.join(rows[:3]))
+        cfg = tiny_cfg()
+        cfg_path = cfg.save(str(tmp_path / 'cfgdir'))
+        args = types.SimpleNamespace(
+            data_dir=corpus, log_path=str(tmp_path / 'run'), config=cfg_path,
+            max_steps=1, log_interval=1, summary_interval=10,
+            checkpoint_interval=1, debug_nans=False, profile_dir=None,
+            profile_start=0, profile_steps=0, train_split='vbank_test')
+        train_acoustic.train(args)
+        assert any(f.startswith('ckpt_')
+                   for f in os.listdir(tmp_path / 'run'))
+
+
 class TestAcousticCLIMesh:
     def test_two_steps_dp_tp(self, corpus, tmp_path):
         """--num_devices wires the (data, model) mesh end-to-end through the

@@ -26,9 +26,11 @@ from ..config import Config
 class VocoderDataset:
     def __init__(self, split: str, data_dir: str, cfg: Config,
                  finetune: bool = False, limit: Optional[int] = None,
-                 seed: int = 114514):
+                 seed: int = 114514, train: Optional[bool] = None):
         self.cfg = cfg
-        self.is_train = split == 'train'
+        # any non-test index (train.txt, vbank_*.txt voice banks) trains
+        # with augmentation/crops; override with ``train=`` if needed
+        self.is_train = train if train is not None else split != 'test'
         self.finetune = finetune
         self.data_dir = data_dir
         with open(os.path.join(data_dir, 'wav_path.txt')) as fh:

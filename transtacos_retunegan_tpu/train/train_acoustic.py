@@ -45,7 +45,8 @@ def train(args) -> None:
     except Exception:
         sw = None
 
-    dataset = AcousticDataset(args.data_dir, cfg, 'train')
+    dataset = AcousticDataset(args.data_dir, cfg,
+                              getattr(args, 'train_split', 'train'))
     logger.info(f'dataset: {len(dataset)} examples')
     feeder = DataFeeder(dataset, cfg)
     feeder.start()
@@ -205,6 +206,9 @@ def main():
     p.add_argument('--log_interval', type=int, default=10)
     p.add_argument('--summary_interval', type=int, default=500)
     p.add_argument('--checkpoint_interval', type=int, default=1000)
+    p.add_argument('--train_split', default='train',
+                   help="index name: 'train' or a voice bank like "
+                        "'vbank_male' (stats/thchs30_gen_vbanks.py workflow)")
     p.add_argument('--num_devices', type=int, default=0,
                    help='devices in the (data, model) mesh; 0/1 = single-device')
     p.add_argument('--model_parallel', type=int, default=1,

@@ -44,7 +44,8 @@ def train(args) -> None:
     except Exception:
         sw = None
 
-    trainset = VocoderDataset('train', args.data_dir, cfg, finetune=args.finetune)
+    trainset = VocoderDataset(getattr(args, 'train_split', 'train'),
+                              args.data_dir, cfg, finetune=args.finetune)
     validset = VocoderDataset('test', args.data_dir, cfg, finetune=args.finetune,
                               limit=hv.valid_limit)
     logger.info(f'dataset: {len(trainset)} train / {len(validset)} valid')
@@ -198,6 +199,8 @@ def main():
     p.add_argument('--summary_interval', type=int, default=250)
     p.add_argument('--validation_interval', type=int, default=1000)
     p.add_argument('--checkpoint_interval', type=int, default=1000)
+    p.add_argument('--train_split', default='train',
+                   help="index name: 'train' or a voice bank like 'vbank_male'")
     p.add_argument('--num_devices', type=int, default=0,
                    help='devices in the (data, model) mesh; 0/1 = single-device')
     p.add_argument('--model_parallel', type=int, default=1,
