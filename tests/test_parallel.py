@@ -13,7 +13,6 @@ from transtacos_retunegan_tpu.parallel import (make_mesh, replicate,
 from transtacos_retunegan_tpu.train.acoustic_step import init_state, train_step
 from transtacos_retunegan_tpu.text.symbols import get_vocab_size
 
-pytestmark = pytest.mark.smoke
 
 CFG = dataclasses.replace(
     Config(),
@@ -44,6 +43,7 @@ def batch_of(b, n=12, t=20, seed=0):
     }
 
 
+@pytest.mark.smoke
 class TestMesh:
     def test_8_devices_available(self):
         assert len(jax.devices()) == 8
@@ -55,6 +55,7 @@ class TestMesh:
         assert m2.shape == {'data': 4, 'model': 2}
 
 
+@pytest.mark.smoke
 class TestDataParallel:
     def test_dp_step_matches_single_device(self):
         batch = batch_of(8)
@@ -80,6 +81,59 @@ class TestDataParallel:
                                    rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
+class TestGanDataParallel:
+    def test_gan_dp_step_matches_single_device(self):
+        """8-way DP GAN step == single-device step (loss + updated G params);
+        round-1 covered only the acoustic step with a numeric DP test."""
+        from transtacos_retunegan_tpu.train.vocoder_step import (
+            gan_train_step, init_gan_state)
+        cfg = dataclasses.replace(
+            Config(),
+            vocoder=dataclasses.replace(
+                Config().vocoder, upsample_initial_channel=32,
+                msd_layers=1, mpd_periods=(3,), disc_width_mult=0.125,
+                multi_stft_params=((512, 256, 60),)))
+        rng = np.random.RandomState(0)
+        b, seg = 8, 512
+        vb = {'mel': rng.randn(b, seg // 256, 80).astype(np.float32),
+              'tmpl': (rng.randn(b, seg) * 0.1).astype(np.float32),
+              'wav': (rng.randn(b, seg) * 0.1).astype(np.float32)}
+        key = jax.random.PRNGKey(7)
+        s1 = init_gan_state(cfg, jax.random.PRNGKey(0),
+                            jax.tree.map(jnp.asarray, vb), 10)
+        s2 = init_gan_state(cfg, jax.random.PRNGKey(0),
+                            jax.tree.map(jnp.asarray, vb), 10)
+
+        s1, m1 = gan_train_step(cfg, s1, jax.tree.map(jnp.asarray, vb), key, 10)
+
+        mesh = make_mesh(8)
+        s2 = type(s2)(s2.step, replicate(mesh, s2.gen_params),
+                      replicate(mesh, s2.gen_opt),
+                      replicate(mesh, s2.disc_params),
+                      replicate(mesh, s2.disc_opt))
+        s2, m2 = gan_train_step(cfg, s2, shard_batch(mesh, vb), key, 10)
+
+        assert float(m1['loss_gen_all']) == pytest.approx(
+            float(m2['loss_gen_all']), rel=2e-3)
+        assert float(m1['loss_disc_all']) == pytest.approx(
+            float(m2['loss_disc_all']), rel=2e-3)
+        # a second step coarsely validates the first step's UPDATES (a
+        # missing gradient all-reduce diverges grossly here).  Tolerance is
+        # loose on purpose: a near-zero gradient element flips its +-lr
+        # first-step Adam update under float reordering (also between two
+        # single-device runs), which shifts the adversarial loss ~1%.
+        key2 = jax.random.PRNGKey(8)
+        s1, m1b = gan_train_step(cfg, s1, jax.tree.map(jnp.asarray, vb),
+                                 key2, 10)
+        s2, m2b = gan_train_step(cfg, s2, shard_batch(mesh, vb), key2, 10)
+        assert float(m1b['loss_gen_all']) == pytest.approx(
+            float(m2b['loss_gen_all']), rel=5e-2)
+        assert float(m1b['loss_disc_all']) == pytest.approx(
+            float(m2b['loss_disc_all']), rel=5e-2)
+
+
+@pytest.mark.smoke
 class TestTensorParallel:
     def test_tp_sharding_compiles_and_matches(self):
         batch = batch_of(8)
