@@ -35,9 +35,42 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
+# bf16 MXU peak per chip (XLA's default matmul precision on TPU lowers f32
+# matmuls to bf16 passes); table keyed on jax device_kind substrings
+_PEAK_FLOPS = [('v5 lite', 197e12), ('v5e', 197e12), ('v5p', 459e12),
+               ('v4', 275e12), ('v6', 918e12), ('v3', 123e12)]
+
+
+def _peak_flops() -> float:
+    kind = getattr(jax.devices()[0], 'device_kind', str(jax.devices()[0]))
+    for key, peak in _PEAK_FLOPS:
+        if key in kind.lower():
+            return peak
+    return 197e12
+
+
+def _compiled_flops(jitted, *args, **kwargs):
+    """FLOP count from XLA's cost model for one call (None if unavailable).
+    Same shapes as the timed call, so lower() hits the jit/persistent cache."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get('flops', 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(flops, step_s):
+    if not flops or not step_s:
+        return None
+    return round(100.0 * flops / step_s / _peak_flops(), 2)
+
+
 def _bench_train_steps(cfg):
     """Steady-state train-step wall time at reference batch geometry.
-    Returns (acoustic_step_s, gan_step_s)."""
+    Returns (acoustic_step_s, gan_step_s, acoustic_flops, gan_flops)."""
     from transtacos_retunegan_tpu.text.symbols import get_vocab_size
     from transtacos_retunegan_tpu.train.acoustic_step import (init_state,
                                                               train_step)
@@ -68,6 +101,8 @@ def _bench_train_steps(cfg):
                                    steps_per_epoch)
     float(m['loss_gen_all'])
     gan_s = (time.perf_counter() - t0) / n
+    gan_flops = _compiled_flops(gan_train_step, cfg, gstate, vb,
+                                jax.random.PRNGKey(0), steps_per_epoch)
     del gstate
 
     n_txt, t = 32, 400   # ~reference avg utterance (307 frames) to bucket
@@ -98,7 +133,9 @@ def _bench_train_steps(cfg):
         astate, al = train_step(cfg, astate, ab, jax.random.PRNGKey(i))
     float(al['loss'])
     ac_s = (time.perf_counter() - t0) / n
-    return ac_s, gan_s
+    ac_flops = _compiled_flops(train_step, cfg, astate, ab,
+                               jax.random.PRNGKey(0))
+    return ac_s, gan_s, ac_flops, gan_flops
 
 
 def main():
@@ -219,9 +256,13 @@ def main():
 
     # (3) training throughput (free the inference params first; the GAN
     # step holds G+D x3 + two optimizer states)
+    # inference-path FLOPs for utilization accounting
+    ac_infer_flops = _compiled_flops(acoustic, ac_params, text_j, lens_j)
+    vo_infer_flops = _compiled_flops(vocode, gen_params, mags[0], key)
+
     del mags, wavs, mag, wav, w
     t0 = time.time()
-    ac_step_s, gan_step_s = _bench_train_steps(cfg)
+    ac_step_s, gan_step_s, ac_flops, gan_flops = _bench_train_steps(cfg)
     print(f'# train-step bench {time.time() - t0:.1f}s', file=sys.stderr)
 
     rtf = (t_ac + t_vo) / audio_seconds
@@ -243,6 +284,18 @@ def main():
             'acoustic_step_ms': round(ac_step_s * 1000, 1),
             'gan_step_ms': round(gan_step_s * 1000, 1),
             'gan_step_vs_ref_2.36': round(2.36 / gan_step_s, 1),
+            # utilization accounting (XLA cost model FLOPs / wall / peak);
+            # the AR decode is latency- not FLOP-bound, so acoustic-infer
+            # MFU is expected to be low -- it contextualizes, not indicts
+            'mfu': {
+                'peak_flops_assumed': _peak_flops(),
+                'acoustic_step_pct': _mfu(ac_flops, ac_step_s),
+                'gan_step_pct': _mfu(gan_flops, gan_step_s),
+                'acoustic_infer_pct': _mfu(ac_infer_flops, t_ac),
+                'vocoder_infer_pct': _mfu(vo_infer_flops, t_vo),
+                'gan_step_gflops': round(gan_flops / 1e9, 1) if gan_flops else None,
+                'acoustic_step_gflops': round(ac_flops / 1e9, 1) if ac_flops else None,
+            },
         },
     }
     print(json.dumps(result))

@@ -152,3 +152,55 @@ class TestTensorParallel:
         sharded = shard_batch(mesh, batch)
         s2, l2 = train_step(CFG, state_tp, sharded, rng)
         assert float(l1['loss']) == pytest.approx(float(l2['loss']), rel=2e-3)
+
+
+class TestDefaultSizeAOT:
+    def test_default_config_sharded_steps_aot_compile(self):
+        """DEFAULT-width train steps must lower+compile against the mesh
+        (catches e.g. a TP-whitelisted kernel whose channel dim does not
+        divide the model axis -- a bug the tiny-config tests cannot see)."""
+        import __graft_entry__ as GE
+        GE.aot_compile_default(make_mesh(8, model_parallel=2))
+
+
+@pytest.mark.smoke
+class TestMultiHostReadiness:
+    """Degenerate 1-process checks of the multi-host plumbing (SURVEY §5:
+    host data sharding + DCN two-level mesh; full multi-host needs >1
+    process, which this image cannot supply)."""
+
+    def test_maybe_initialize_distributed_noop(self):
+        from transtacos_retunegan_tpu.parallel import \
+            maybe_initialize_distributed
+        maybe_initialize_distributed()           # no coordinator -> no-op
+        assert jax.process_count() == 1
+
+    def test_process_shard_identity(self):
+        from transtacos_retunegan_tpu.parallel import process_shard
+        assert process_shard(16) == slice(0, 16)
+
+    def test_shard_batch_process_local_path(self):
+        """make_array_from_process_local_data path: in 1-process it must
+        produce arrays identical to the device_put path."""
+        mesh = make_mesh(8)
+        batch = {'x': np.arange(32, dtype=np.float32).reshape(8, 4),
+                 's': np.asarray(3, np.int32)}
+        a = shard_batch(mesh, batch, process_local=False)
+        b = shard_batch(mesh, batch, process_local=True)
+        assert a['x'].sharding.is_equivalent_to(b['x'].sharding, 2)
+        np.testing.assert_array_equal(np.asarray(a['x']), np.asarray(b['x']))
+        np.testing.assert_array_equal(np.asarray(a['s']), np.asarray(b['s']))
+
+    def test_loader_and_feeder_single_process_unchanged(self):
+        from transtacos_retunegan_tpu.data.vocoder_data import VocoderLoader
+
+        class _DS:
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                return {'x': np.full(3, i, np.float32)}
+        loader = VocoderLoader(_DS(), 4, shuffle=False, num_workers=1)
+        assert len(loader) == 3
+        seen = [b['x'].shape for b in loader]
+        assert seen == [(4, 3)] * 3

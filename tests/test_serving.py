@@ -187,3 +187,36 @@ class TestHTTP:
                                       data=pickle.dumps(spec_cat))
         wav = pickle.loads(urllib.request.urlopen(req2, timeout=300).read())
         assert len(wav) == spec_cat.shape[0] * 256
+
+    def test_synth_mp3_falls_back_to_wav_without_ffmpeg(self, ports, monkeypatch):
+        """?format=mp3 must degrade gracefully to wav when ffmpeg is absent
+        (opportunistic compression, reference ``app.py:85-90``)."""
+        import shutil
+        # the server runs in-process threads, so this patch covers it
+        monkeypatch.setattr(shutil, 'which', lambda name: None)
+        r = urllib.request.urlopen(
+            f"http://127.0.0.1:{ports['webui']}/synth?text=ni3%20hao3&format=mp3",
+            timeout=300)
+        body = r.read()
+        assert body[:4] == b'RIFF'
+        assert r.headers['Content-Type'] == 'audio/wav'
+
+
+class TestMp3Helper:
+    def test_none_without_ffmpeg(self, monkeypatch):
+        import shutil
+        from transtacos_retunegan_tpu.serve import httpd
+        monkeypatch.setattr(shutil, 'which', lambda name: None)
+        assert httpd._mp3_bytes(b'RIFFxxxx') is None
+
+    def test_uses_ffmpeg_when_present(self, tmp_path, monkeypatch):
+        """Stub ffmpeg on PATH: the helper must pipe wav in and return the
+        binary's stdout as the mp3 payload."""
+        import os
+        from transtacos_retunegan_tpu.serve import httpd
+        stub = tmp_path / 'ffmpeg'
+        stub.write_text('#!/bin/sh\ncat > /dev/null\nprintf "ID3FAKE"\n')
+        os.chmod(stub, 0o755)
+        monkeypatch.setenv('PATH', f"{tmp_path}:{os.environ['PATH']}")
+        out = httpd._mp3_bytes(b'RIFF' + b'\x00' * 64)
+        assert out == b'ID3FAKE'

@@ -141,3 +141,72 @@ class TestParamCounts:
     def test_acoustic_count_plausible(self):
         n = param_counts.acoustic_count(Config())
         assert 5_000_000 < n < 20_000_000
+
+
+class TestSpec2Wavset:
+    def test_exact_bin_sinusoids_reconstruct(self):
+        """Sinusoid-bank templates are amplitude-calibrated: carriers at
+        exact bin centers reconstruct to a few % spectral error
+        (reference ``retunegan/tools/spec2wavset.py:5-16``)."""
+        from transtacos_retunegan_tpu.config import AudioConfig
+        from transtacos_retunegan_tpu.tools import dsp_studies as D
+        cfg = AudioConfig()
+        sr = cfg.sample_rate
+        t = np.arange(sr) / sr
+        y = (0.5 * np.sin(2 * np.pi * (20 * sr / 2048) * t)
+             + 0.25 * np.sin(2 * np.pi * (41 * sr / 2048) * t))
+        out = D.study_spec2wavset(cfg, y, fft_params=((2048, 1024, 256),))
+        r = out['n_fft=2048']
+        assert r['spectral_convergence'] < 0.1
+        assert r['wav_rel_l1'] < 0.1
+        assert r['peak_bin_fraction'] < 0.02     # sinusoid sets are sparse
+
+    def test_speechlike_signal_spectrally_faithful(self):
+        """Off-bin/AM content: spectrum stays close while the waveform
+        decorrelates -- the study's documented design property."""
+        from transtacos_retunegan_tpu.config import AudioConfig
+        from transtacos_retunegan_tpu.tools import dsp_studies as D
+        cfg = AudioConfig()
+        out = D.study_spec2wavset(cfg, D._test_signal(cfg))
+        for key in ('n_fft=2048', 'n_fft=1024', 'n_fft=512'):
+            assert out[key]['spectral_convergence'] < 0.35, (key, out[key])
+
+
+class TestAlignmentDiagonality:
+    def test_diagonal_vs_flat(self):
+        from transtacos_retunegan_tpu.eval.metrics import alignment_diagonality
+        n, t = 12, 36
+        diag = np.zeros((n, t))
+        for j in range(t):
+            diag[min(j * n // t, n - 1), j] = 1.0
+        flat = np.full((n, t), 1.0 / n)
+        d1, d2 = alignment_diagonality(diag), alignment_diagonality(flat)
+        assert d1['diagonality'] > 0.98
+        assert d1['focus'] == pytest.approx(1.0)
+        assert d1['coverage'] == pytest.approx(1.0)
+        assert d2['diagonality'] == 0.0
+        assert d2['focus'] == pytest.approx(1.0 / n)
+
+
+class TestAdviceFixes:
+    def test_pesq_proxy_short_signal_continuous(self):
+        """<2 frames: nearly-identical clips must score near 4.5, not 1.0."""
+        from transtacos_retunegan_tpu.eval import metrics
+        rng = np.random.RandomState(0)
+        y = rng.randn(400).astype(np.float64) * 0.1
+        almost = y + 1e-6 * rng.randn(400)
+        assert metrics.pesq_proxy(y, almost, 16000) > 4.0
+        assert metrics.pesq_proxy(y, -y, 16000) < 3.0
+
+    def test_scale_ch_widening(self):
+        from transtacos_retunegan_tpu.models.discriminators import _scale_ch
+        assert _scale_ch(64, 1.0, 4) == (64, 4)
+        assert _scale_ch(64, 2.0, 4) == (128, 4)       # widen features only
+        assert _scale_ch(64, 0.25, 4) == (16, 1)
+
+    def test_get_logger_pathless_drops_file_handler(self, tmp_path):
+        import logging
+        from transtacos_retunegan_tpu.utils.logging import get_logger
+        lg = get_logger('advice_t', str(tmp_path / 'a.log'))
+        lg = get_logger('advice_t')                    # pathless follow-up
+        assert not any(isinstance(h, logging.FileHandler) for h in lg.handlers)

@@ -120,10 +120,21 @@ class DataFeeder(threading.Thread):
         self.dataset = dataset
         self.cfg = cfg
         self.bs = cfg.acoustic.batch_size
+        self._order = list(range(len(dataset)))
+        # multi-host: each process feeds ITS slice of the global batch (the
+        # per-process batch is global/num_processes and examples are strided
+        # disjointly), replacing the reference's single-host feeder thread.
+        # jax imported lazily: single-host data tests stay jax-free.
+        import jax
+        pc = jax.process_count()
+        if pc > 1:
+            assert self.bs % pc == 0, \
+                f'batch_size {self.bs} not divisible by {pc} processes'
+            self.bs //= pc
+            self._order = self._order[jax.process_index()::pc]
         self.batches_per_group = batches_per_group or self.bs
         self.q: 'queue.Queue[Dict[str, np.ndarray]]' = queue.Queue(queue_size)
         self.rng = random.Random(seed)
-        self._order = list(range(len(dataset)))
         self._offset = len(self._order)   # trigger shuffle on first use
         self._stop = threading.Event()
 

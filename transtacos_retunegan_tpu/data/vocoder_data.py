@@ -170,15 +170,29 @@ class VocoderLoader:
         self.num_workers = max(1, num_workers)
         self.queue_size = queue_size
         self.rng = Random(seed)
+        # multi-host: per-process local batch + disjoint example stride (the
+        # global batch is assembled by parallel.shard_batch).  jax imported
+        # lazily so single-host data tests stay jax-free.
+        import jax
+        self._pc = jax.process_count()
+        self._pidx = jax.process_index() if self._pc > 1 else 0
+        if self._pc > 1:
+            assert self.bs % self._pc == 0, \
+                f'batch_size {self.bs} not divisible by {self._pc} processes'
+            self.bs //= self._pc
 
     def __len__(self):
-        n = len(self.ds)
+        n = len(self.ds) // self._pc if self._pc > 1 else len(self.ds)
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
     def __iter__(self):
         order = list(range(len(self.ds)))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self._pc > 1:
+            # same seed on every process -> same global order -> disjoint
+            # strided per-process slices
+            order = order[self._pidx::self._pc]
         batches = [order[i:i + self.bs] for i in range(0, len(order), self.bs)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.bs]

@@ -120,7 +120,10 @@ def pesq_proxy(y: np.ndarray, y_hat: np.ndarray, sr: int) -> float:
     win = np.hanning(n_fft)
     n = (len(y) - n_fft) // hop + 1
     if n < 2:
-        return 4.5 if np.allclose(y, y_hat) else 1.0
+        # too short for framing (<~48 ms): sample-domain distance through
+        # the SAME saturating MOS curve, keeping the scale continuous
+        d = float(np.mean(np.abs(y_hat - y)) / (np.mean(np.abs(y)) + 1e-12))
+        return float(np.clip(1.0 + 3.5 / (1.0 + d ** 1.5), 1.0, 4.5))
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
     p_r = np.abs(np.fft.rfft(y[idx] * win, axis=1)) ** 2
     p_d = np.abs(np.fft.rfft(y_hat[idx] * win, axis=1)) ** 2
@@ -140,6 +143,31 @@ def pesq_proxy(y: np.ndarray, y_hat: np.ndarray, sr: int) -> float:
     # d ~2.3 (0 dB SNR) -> ~1.7; asymptote 1.0
     score = 1.0 + 3.5 / (1.0 + (d / 1.0) ** 1.5)
     return float(np.clip(score, 1.0, 4.5))
+
+
+def alignment_diagonality(align: np.ndarray) -> Dict[str, float]:
+    """Diagnostics for a decoder alignment matrix [n_text, n_decode_steps].
+
+    * ``diagonality``: Pearson correlation between the decode-step index and
+      the argmax text position -- ~1.0 for a clean monotone diagonal, ~0 for
+      unfocused/static attention.
+    * ``focus``: mean max attention weight per decode step.
+    * ``coverage``: fraction of text positions that are the argmax of at
+      least one decode step (diagonal alignments read every token).
+    """
+    a = np.asarray(align, np.float64)
+    n_text, n_steps = a.shape
+    pos = np.argmax(a, axis=0)
+    t = np.arange(n_steps)
+    if n_steps >= 2 and np.std(pos) > 0:
+        diag = float(np.corrcoef(t, pos)[0, 1])
+    else:
+        diag = 0.0
+    return {
+        'diagonality': diag,
+        'focus': float(np.mean(np.max(a, axis=0))),
+        'coverage': float(len(np.unique(pos)) / max(n_text, 1)),
+    }
 
 
 def evaluate_pair(y: np.ndarray, y_hat: np.ndarray, cfg: Config) -> Dict[str, float]:

@@ -22,9 +22,14 @@ from .vocoder_layers import WNConv, WNConv2d, lrelu
 def _scale_ch(ch: int, mult: float, groups: int = 1) -> Tuple[int, int]:
     """Scale (features, groups) by a width multiplier, keeping features a
     multiple of groups.  mult=1.0 is the identity (reference widths); small
-    power-of-two fractions are the intended dry-run/CI values."""
-    if mult >= 1.0:
+    power-of-two fractions are the intended dry-run/CI values.  Widening
+    (mult > 1.0) scales features only -- more groups would change the
+    reference's grouped-conv topology, not just its width."""
+    if mult == 1.0:
         return ch, groups
+    if mult > 1.0:
+        f = int(round(ch * mult))
+        return -(-f // max(groups, 1)) * max(groups, 1), groups
     g = max(1, int(round(groups * mult)))
     f = max(g, int(round(ch * mult)))
     f = -(-f // g) * g

@@ -1,1 +1,2 @@
-from .mesh import make_mesh, replicate, shard_batch, shard_params_tp  # noqa: F401
+from .mesh import (make_mesh, maybe_initialize_distributed,  # noqa: F401
+                   process_shard, replicate, shard_batch, shard_params_tp)

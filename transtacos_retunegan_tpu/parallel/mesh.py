@@ -18,9 +18,42 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(coordinator: Optional[str] = None,
+                                 num_processes: Optional[int] = None,
+                                 process_id: Optional[int] = None) -> None:
+    """Multi-host entry hook: ``jax.distributed.initialize`` when a
+    coordinator is configured (CLI flags or the standard JAX env vars);
+    a no-op in the single-process case, so the CLIs run unchanged on one
+    host.  Call BEFORE any jax computation."""
+    import os
+    if coordinator is None and 'JAX_COORDINATOR_ADDRESS' not in os.environ:
+        return
+    kwargs = {}
+    if coordinator is not None:
+        kwargs['coordinator_address'] = coordinator
+    if num_processes is not None:
+        kwargs['num_processes'] = num_processes
+    if process_id is not None:
+        kwargs['process_id'] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ``(data, model)`` mesh over the first n devices."""
+    """Build a ``(data, model)`` mesh over the first n devices.
+
+    Multi-process (multi-host) runs get a two-level DCN x ICI layout: the
+    ``model`` axis stays within a host (TP collectives ride ICI) and the
+    ``data`` axis spans hosts x remaining per-host chips, so the only
+    cross-DCN traffic is the once-per-step gradient all-reduce."""
+    if devices is None and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+        n_local = jax.local_device_count()
+        assert n_local % model_parallel == 0, (n_local, model_parallel)
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(n_local // model_parallel, model_parallel),
+            dcn_mesh_shape=(jax.process_count(), 1))
+        return Mesh(arr, ('data', 'model'))
     devices = list(devices or jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
@@ -30,16 +63,40 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
     return Mesh(arr, ('data', 'model'))
 
 
-def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+def process_shard(n: int) -> slice:
+    """This process's contiguous slice of a leading batch axis of size n
+    (identity when single-process)."""
+    pc = jax.process_count()
+    assert n % pc == 0, f'batch axis {n} not divisible by {pc} processes'
+    per = n // pc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any],
+                process_local: Optional[bool] = None) -> Dict[str, Any]:
     """Place a host batch with the leading axis sharded over ``data``.
-    Scalars (loss-length markers) replicate."""
+    Scalars (loss-length markers) replicate.
+
+    Single-process: a plain sharded ``device_put`` of the full batch.
+    Multi-process: each process passes only ITS slice of the global batch
+    (the feeder/loader already yields per-process batches -- see
+    ``data/feeder.py``/``data/vocoder_data.py``) and the global array is
+    assembled with ``jax.make_array_from_process_local_data``, so no host
+    ever materializes or transfers the full global batch."""
+    if process_local is None:
+        process_local = jax.process_count() > 1
+
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0:
             spec = P()
         else:
             spec = P('data', *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if process_local:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
     return jax.tree.map(put, batch)
 
 

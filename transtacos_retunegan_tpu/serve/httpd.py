@@ -59,6 +59,24 @@ def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
+def _mp3_bytes(wav_bytes: bytes) -> Optional[bytes]:
+    """Opportunistic mp3 compression (reference ``app.py:85-90`` shells out
+    to ffmpeg): uses an ``ffmpeg`` binary when one is on PATH, returns None
+    otherwise so callers fall back to wav gracefully."""
+    import shutil
+    import subprocess
+    if shutil.which('ffmpeg') is None:
+        return None
+    try:
+        r = subprocess.run(
+            ['ffmpeg', '-i', 'pipe:0', '-f', 'mp3', '-acodec', 'libmp3lame',
+             '-loglevel', 'quiet', 'pipe:1'],
+            input=wav_bytes, capture_output=True, timeout=60)
+        return r.stdout if r.returncode == 0 and r.stdout else None
+    except Exception:
+        return None
+
+
 def make_handler(synth: Synthesizer, role: str):
     """role in {'webui', 'acoustic', 'vocoder', 'all'} gates which routes exist."""
     sr = synth.cfg.audio.sample_rate
@@ -93,7 +111,14 @@ def make_handler(synth: Synthesizer, role: str):
                     # the neural vocoder (reference behavior split)
                     neural = role in ('webui', 'all')
                     wav = synth.tts(txt, neural=neural)
-                    self._send(200, _wav_bytes(wav, sr), 'audio/wav')
+                    body = _wav_bytes(wav, sr)
+                    # ?format=mp3: compress when ffmpeg exists on PATH
+                    # (reference app.py:85-90), else serve wav unchanged
+                    if q.get('format', [''])[0] == 'mp3':
+                        mp3 = _mp3_bytes(body)
+                        if mp3 is not None:
+                            return self._send(200, mp3, 'audio/mpeg')
+                    self._send(200, body, 'audio/wav')
                 elif url.path == '/healthz':
                     self._send(200, b'ok', 'text/plain')
                 else:

@@ -277,6 +277,28 @@ class Synthesizer:
         length = int(out['out_lengths'][0])
         return np.asarray(out['mag_outputs'][0])[:length]
 
+    def synthesize_with_alignment(self, pinyin: str) -> Dict[str, np.ndarray]:
+        """Free-running synthesis that also returns the decoder alignment.
+
+        Evidence/diagnostic surface (the reference plots the alignment at
+        eval time, ``transtacos/train.py:109-118``): returns the natural-scale
+        spec [F, T], the alignment [n_text, n_steps] trimmed to the true text
+        length and stop-token decode length, and the frame count."""
+        seq = frontend.serialize_inference(pinyin, self.cfg.acoustic.g2p)
+        n = seq.shape[0]
+        n_pad = _round_up(max(n, 1), self.cfg.acoustic.text_bucket)
+        text = np.zeros((1, n_pad, 2), np.int32)
+        text[0, :n] = seq
+        out = self._infer_fn(n_pad)(self.acoustic_params, jnp.asarray(text),
+                                    jnp.asarray([n]))
+        r = self.cfg.acoustic.outputs_per_step
+        t_real = int(out['out_lengths'][0])
+        mag = np.asarray(out['mag_outputs'][0])[:t_real].T   # [F-1, T]
+        s = dsp.spec_to_natural_scale(jnp.asarray(mag), self.cfg.audio)
+        s = np.asarray(dsp.fix_zero_dc(s, self.cfg.audio))
+        align = np.asarray(out['alignments'][0])[:n, :t_real // r]
+        return {'spec': s, 'alignment': align, 'n_frames': t_real}
+
     def synthesize_spec(self, pinyin: str) -> np.ndarray:
         """Natural-scale spec [F, T] with DC restored (pickle payload parity)."""
         mag = self._run_acoustic(pinyin).T                   # [F-1, T]

@@ -18,6 +18,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..audio import transforms as T
@@ -30,6 +31,12 @@ from .acoustic_step import TrainState, init_state, train_step
 
 
 def train(args) -> None:
+    # multi-host entry hook: no-op unless a coordinator is configured (CLI
+    # flag or JAX_COORDINATOR_ADDRESS), so single-host runs are unchanged
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed(getattr(args, 'coordinator', None),
+                                 getattr(args, 'num_processes', None),
+                                 getattr(args, 'process_id', None))
     cfg = Config.load(args.config) if args.config else Config()
     if args.debug_nans:
         # jitted NaN detection (the analogue of the reference's
@@ -91,6 +98,7 @@ def train(args) -> None:
     # steps of the explosion rather than immediately.
     step = int(state.step)
     profiling = False
+    loss_max = None    # device-side running max since the last log point
     last_t = time.time()
     while step < max_steps:
         # XLA-level profiler window (view with tensorboard/xprof); replaces
@@ -109,6 +117,10 @@ def train(args) -> None:
         rng, sub = jax.random.split(rng)
         state, losses = train_step(cfg, state, batch, sub)
         step += 1
+        # async device-side max: catches TRANSIENT spikes between log points
+        # without forcing a per-step host sync (NaN propagates through max)
+        loss_max = losses['loss'] if loss_max is None \
+            else jnp.maximum(loss_max, losses['loss'])
 
         if step % args.log_interval == 0:
             loss = float(losses['loss'])             # drains the queue
@@ -122,9 +134,14 @@ def train(args) -> None:
                 f"mel {float(losses['mel_loss']):.4f} mag {float(losses['mag_loss']):.4f} "
                 f"stop {float(losses['stop_token_loss']):.4f} "
                 f"tfr {float(losses['tfr']):.3f}]")
-            # loss-explosion guard (reference ``train.py:89-91``)
-            if loss > 300 or not np.isfinite(loss):
-                logger.error(f'loss exploded to {loss} at step {step}, aborting')
+            # loss-explosion guard (reference ``train.py:89-91``) over the
+            # WINDOWED max, so a transient spike that recovers between log
+            # points is still detected
+            lmax = float(loss_max)
+            loss_max = None
+            if lmax > 300 or not np.isfinite(lmax):
+                logger.error(f'loss exploded to {lmax} within the last '
+                             f'{args.log_interval} steps (step {step}), aborting')
                 feeder.stop()
                 raise SystemExit(1)
 
@@ -213,6 +230,11 @@ def main():
                    help='devices in the (data, model) mesh; 0/1 = single-device')
     p.add_argument('--model_parallel', type=int, default=1,
                    help='size of the model (TP) mesh axis')
+    p.add_argument('--coordinator', default=None,
+                   help='multi-host: coordinator address host:port for '
+                        'jax.distributed.initialize (single-host if unset)')
+    p.add_argument('--num_processes', type=int, default=None)
+    p.add_argument('--process_id', type=int, default=None)
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--profile_dir', default=None)
     p.add_argument('--profile_start', type=int, default=20)

@@ -18,6 +18,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..audio import transforms as T
@@ -30,6 +31,11 @@ from .vocoder_step import (gan_eval_step, gan_train_step, init_gan_state)
 
 
 def train(args) -> None:
+    # multi-host entry hook (no-op single-host; see train_acoustic.py)
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed(getattr(args, 'coordinator', None),
+                                 getattr(args, 'num_processes', None),
+                                 getattr(args, 'process_id', None))
     cfg = Config.load(args.config) if args.config else Config()
     if args.debug_nans:
         jax.config.update('jax_debug_nans', True)
@@ -87,6 +93,7 @@ def train(args) -> None:
     # host-side step counter: syncing ``state.step`` per batch stalls the
     # dispatch queue (see train_acoustic.py); metrics sync at stdout_interval
     step = int(state.step)
+    loss_max = None    # device-side running max since the last log point
     last_t = time.time()
     for epoch in range(max(0, last_epoch), args.epochs):
         start_e = time.time()
@@ -97,6 +104,10 @@ def train(args) -> None:
             rng, sub = jax.random.split(rng)
             state, m = gan_train_step(cfg, state, batch, sub, steps_per_epoch)
             step += 1
+            # async device-side max: transient-spike detection without a
+            # per-step host sync (see train_acoustic.py)
+            loss_max = m['loss_gen_all'] if loss_max is None \
+                else jnp.maximum(loss_max, m['loss_gen_all'])
 
             if step % args.stdout_interval == 0:
                 g = float(m['loss_gen_all'])         # drains the queue
@@ -120,8 +131,11 @@ def train(args) -> None:
                     f"sc_s_g: {float(m['sc_s_g']):.3f}, "
                     f"sc_p_r: {float(m['sc_p_r']):.3f}, sc_p_g: {float(m['sc_p_g']):.3f}, "
                     f"sc_t_r: {float(m['sc_t_r']):.3f}, sc_t_g: {float(m['sc_t_g']):.3f}")
-                if not np.isfinite(g) or g > 1e5:
-                    logger.error('loss exploded, aborting')
+                gmax = float(loss_max)
+                loss_max = None
+                if not np.isfinite(gmax) or gmax > 1e5:
+                    logger.error(f'loss exploded to {gmax} within the last '
+                                 f'{args.stdout_interval} steps, aborting')
                     raise SystemExit(1)
 
             if sw is not None and step % args.summary_interval == 0:
@@ -205,6 +219,11 @@ def main():
                    help='devices in the (data, model) mesh; 0/1 = single-device')
     p.add_argument('--model_parallel', type=int, default=1,
                    help='size of the model (TP) mesh axis')
+    p.add_argument('--coordinator', default=None,
+                   help='multi-host: coordinator address host:port for '
+                        'jax.distributed.initialize (single-host if unset)')
+    p.add_argument('--num_processes', type=int, default=None)
+    p.add_argument('--process_id', type=int, default=None)
     p.add_argument('--debug_nans', action='store_true', default=False)
     train(p.parse_args())
 

@@ -43,6 +43,12 @@ def get_logger(name: str, log_path: Optional[str] = None) -> logging.Logger:
             fh = logging.FileHandler(log_path, 'a', encoding='utf-8')
             fh.setFormatter(fmt)
             logger.addHandler(fh)
+    else:
+        # a pathless call must not silently append to a PREVIOUS run's file
+        for h in list(logger.handlers):
+            if isinstance(h, logging.FileHandler):
+                logger.removeHandler(h)
+                h.close()
     return logger
 
 
