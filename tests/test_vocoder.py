@@ -217,3 +217,30 @@ class TestGroupedDenseLowering:
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dense)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestR1Penalty:
+    def test_r1_step_finite_and_positive(self, rng):
+        """Opt-in R1 penalty (r1_gamma > 0): the D step runs the
+        double-backward and reports a positive finite penalty; gamma=0
+        keeps reference semantics (loss_r1 stays 0)."""
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, vocoder=dataclasses.replace(cfg.vocoder, r1_gamma=0.5))
+        batch = {
+            'mel': jnp.asarray(rng.randn(B, FRAMES, 80).astype(np.float32)),
+            'tmpl': jnp.asarray(rng.randn(B, SEG).astype(np.float32) * 0.1),
+            'wav': jnp.asarray(rng.randn(B, SEG).astype(np.float32) * 0.1),
+        }
+        state = init_gan_state(cfg, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=10)
+        state2, m = gan_train_step(cfg, state, batch, jax.random.PRNGKey(1), 10)
+        assert np.isfinite(float(m['loss_r1']))
+        assert float(m['loss_r1']) > 0.0
+        assert np.isfinite(float(m['loss_disc_all']))
+
+        cfg0 = small_cfg()
+        s0 = init_gan_state(cfg0, jax.random.PRNGKey(0), batch,
+                            steps_per_epoch=10)
+        _, m0 = gan_train_step(cfg0, s0, batch, jax.random.PRNGKey(1), 10)
+        assert float(m0['loss_r1']) == 0.0

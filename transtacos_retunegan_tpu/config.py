@@ -238,6 +238,10 @@ class VocoderConfig:
     # optional G/D global-norm gradient clip; 0 = off (reference has none).
     # A stability guard for corpora where the discriminators saturate early.
     grad_clip_norm: float = 0.0
+    # optional R1 gradient penalty weight on real data; 0 = off (reference
+    # semantics).  The principled stabilizer when the Ds separate real/fake
+    # early (small corpora): gamma/2 * E||grad_x D(x)||^2.
+    r1_gamma: float = 0.0
 
     @property
     def split_cv(self) -> bool:

@@ -107,17 +107,24 @@ def eval_teacher_forced(cfg: Config, data_dir: str, ac_run: str) -> dict:
 
     model = Tacotron(cfg)
     mutable = list(state.extra_vars.keys())
-    out = model.apply({'params': state.params, **state.extra_vars},
-                      batch['text'], batch['text_lengths'], batch['prds'],
-                      batch['spec_lengths'], batch['mel_targets'],
-                      batch['f0_targets'], batch['c0_targets'], 1.0,
-                      train=True, mutable=mutable if mutable else False,
-                      rngs={'noise': jax.random.PRNGKey(0),
-                            'dropout': jax.random.PRNGKey(1),
-                            'tf': jax.random.PRNGKey(2)})
-    if mutable:
-        out, _ = out
-    losses = compute_losses(out, batch, cfg, state.params)
+
+    # jitted: an eager apply dispatches thousands of individual ops, which
+    # is pathological over a remote-dispatch TPU tunnel
+    @jax.jit
+    def tf_losses(params, extra_vars, batch):
+        out = model.apply({'params': params, **extra_vars},
+                          batch['text'], batch['text_lengths'], batch['prds'],
+                          batch['spec_lengths'], batch['mel_targets'],
+                          batch['f0_targets'], batch['c0_targets'], 1.0,
+                          train=True, mutable=mutable if mutable else False,
+                          rngs={'noise': jax.random.PRNGKey(0),
+                                'dropout': jax.random.PRNGKey(1),
+                                'tf': jax.random.PRNGKey(2)})
+        if mutable:
+            out, _ = out
+        return compute_losses(out, batch, cfg, params)
+
+    losses = tf_losses(state.params, state.extra_vars, batch)
     # NOTE reference name swap: 'mel_loss' is the LINEAR-spec L1,
     # 'mag_loss' the mel L1 (acoustic_step.compute_losses docstring)
     return {'held_out_mel_l1': float(losses['mag_loss']),
@@ -134,8 +141,9 @@ def eval_synthesis(cfg: Config, data_dir: str, ac_run: str, vo_run: str,
     from ..serve.pipeline import Synthesizer
     from ..utils.plotting import plot_alignment
 
-    synth = Synthesizer(cfg, acoustic_dir=ac_run, vocoder_dir=vo_run,
-                        fused_decoder=False)
+    # default decoder auto-select: the fused pallas path on TPU (production
+    # parity + its executable is already in the persistent compile cache)
+    synth = Synthesizer(cfg, acoustic_dir=ac_run, vocoder_dir=vo_run)
     rows, best = [], None
     for name, text, _ in held_out_texts(data_dir)[:max_texts]:
         out = synth.synthesize_with_alignment(text)

@@ -140,8 +140,26 @@ def gan_train_step(cfg: Config, state: GANState, batch: Dict[str, Any],
         ls = L.discriminator_loss(sr, sg, cfg)
         lp = L.discriminator_loss(pr, pg, cfg)
         lt = L.discriminator_loss(tr, tg, cfg)
+        total = ls + lp + lt
+        # optional R1 gradient penalty on real data (off by default =
+        # reference semantics).  The principled regularizer for corpora
+        # where the Ds separate real/fake early and derail the generator:
+        # gamma/2 * E_x ||grad_x sum(D(x))||^2, double-backward through the
+        # conv stacks.  Mescheder et al. 2018, "Which GAN training methods
+        # actually converge?".
+        r1 = jnp.asarray(0.0)
+        if hv.r1_gamma > 0.0:
+            def real_score(yy):
+                _, sp, _ = L.multi_stft_specs_and_loss(yy, yy, cfg)
+                (rs, _, _, _), (rp, _, _, _), (rt, _, _, _) = _disc_forward(
+                    cfg, dparams, yy, yy, sp, sp)
+                return sum(jnp.sum(x) for x in rs + rp + rt)
+            gy = jax.grad(real_score)(y)
+            r1 = jnp.sum(jnp.square(gy)) / y.shape[0]
+            total = total + 0.5 * hv.r1_gamma * r1
         aux = {
             'loss_disc_s': ls, 'loss_disc_p': lp, 'loss_disc_t': lt,
+            'loss_r1': r1,
             'sc_s_r': sum(jnp.mean(d) for d in sr) / len(sr),
             'sc_s_g': sum(jnp.mean(d) for d in sg) / len(sg),
             'sc_p_r': sum(jnp.mean(d) for d in pr) / len(pr),
@@ -149,7 +167,7 @@ def gan_train_step(cfg: Config, state: GANState, batch: Dict[str, Any],
             'sc_t_r': sum(jnp.mean(d) for d in tr) / len(tr),
             'sc_t_g': sum(jnp.mean(d) for d in tg) / len(tg),
         }
-        return ls + lp + lt, aux
+        return total, aux
 
     disc_params, disc_opt = state.disc_params, state.disc_opt
     d_aux = None
