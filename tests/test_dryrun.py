@@ -52,4 +52,6 @@ def test_dryrun_multichip_end_to_end():
     start = time.time()
     dryrun_multichip(8)          # conftest provides 8 CPU devices in-process
     elapsed = time.time() - start
-    assert elapsed < 300, f'dryrun took {elapsed:.0f}s (budget 300s)'
+    # the driver's own budget is 1500s; the DEFAULT-size AOT compile checks
+    # (r3) put the solo run at ~8 min, slower under suite-level CPU contention
+    assert elapsed < 1200, f'dryrun took {elapsed:.0f}s (budget 1200s)'
