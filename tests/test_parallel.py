@@ -1,6 +1,7 @@
 """Multi-device tests on the virtual 8-device CPU mesh."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -154,6 +155,47 @@ class TestTensorParallel:
         assert float(l1['loss']) == pytest.approx(float(l2['loss']), rel=2e-3)
 
 
+@pytest.mark.slow
+class TestTensorParallelPartitionsCompute:
+    def test_tp_reduces_per_device_flops(self):
+        """TP must PARTITION compute, not merely place parameters: on the
+        same 4x2 mesh, the SPMD-partitioned per-device module with TP param
+        shardings must cost measurably fewer FLOPs than with every param
+        replicated (XLA cost model, post-partitioning).  Guards against the
+        whitelist regressing to a no-op (e.g. all patterns failing the
+        divisibility check) while the loss-equality test still passes."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from transtacos_retunegan_tpu.parallel import tp_param_specs
+
+        batch = batch_of(8)
+        state = init_state(CFG, jax.random.PRNGKey(0),
+                           jax.tree.map(jnp.asarray, batch))
+        mesh = make_mesh(8, model_parallel=2)
+
+        def flops_with(param_specs):
+            in_shardings = (
+                jax.tree.map(lambda s: NamedSharding(mesh, s),
+                             type(state)(P(), param_specs,
+                                         jax.tree.map(lambda _: P(),
+                                                      state.opt_state))),
+                jax.tree.map(
+                    lambda x: NamedSharding(
+                        mesh, P('data', *([None] * (np.ndim(x) - 1)))
+                        if np.ndim(x) else P()), batch),
+                NamedSharding(mesh, P()),
+            )
+            lowered = jax.jit(
+                lambda s, b, r: train_step(CFG, s, b, r),
+                in_shardings=in_shardings).lower(state, batch,
+                                                 jax.random.PRNGKey(42))
+            return lowered.compile().cost_analysis()['flops']
+
+        rep = jax.tree.map(lambda _: P(), state.params)
+        tp = tp_param_specs(state.params, mesh)
+        f_rep, f_tp = flops_with(rep), flops_with(tp)
+        assert f_tp < 0.9 * f_rep, (f_tp, f_rep)
+
+
 class TestDefaultSizeAOT:
     def test_default_config_sharded_steps_aot_compile(self):
         """DEFAULT-width train steps must lower+compile against the mesh
@@ -161,6 +203,59 @@ class TestDefaultSizeAOT:
         divide the model axis -- a bug the tiny-config tests cannot see)."""
         import __graft_entry__ as GE
         GE.aot_compile_default(make_mesh(8, model_parallel=2))
+
+
+@pytest.mark.slow
+class TestRealMultiProcess:
+    """A REAL 2-process JAX group on CPU (gloo collectives): launches
+    tools/multihost_smoke.py twice, which runs jax.distributed.initialize,
+    the hybrid DCN x ICI mesh, per-process batch slicing and
+    make_array_from_process_local_data -- the exact multi-host production
+    plumbing -- and asserts both ranks agree with a single-process run."""
+
+    def test_two_process_dp_step_matches_single_process(self, tmp_path):
+        import subprocess
+        import sys
+
+        from transtacos_retunegan_tpu.tools.multihost_smoke import (
+            demo_config, make_demo_batch)
+
+        # reference: single-process run on this suite's 8-device CPU mesh
+        cfg = demo_config()
+        batch = make_demo_batch(cfg)
+        state = init_state(cfg, jax.random.PRNGKey(0),
+                           jax.tree.map(jnp.asarray, batch))
+        _, l_ref = train_step(cfg, state, jax.tree.map(jnp.asarray, batch),
+                              jax.random.PRNGKey(42))
+        ref = float(l_ref['loss'])
+
+        env = {k: v for k, v in os.environ.items()
+               if k not in ('XLA_FLAGS', 'JAX_PLATFORMS',
+                            'PALLAS_AXON_POOL_IPS')}
+        env['JAX_PLATFORMS'] = 'cpu'
+        port = 29000 + os.getpid() % 1000
+        procs = [subprocess.Popen(
+            [sys.executable, '-m',
+             'transtacos_retunegan_tpu.tools.multihost_smoke', '--cpu',
+             '--coordinator', f'127.0.0.1:{port}',
+             '--num_processes', '2', '--process_id', str(i)],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+            assert p.returncode == 0, out[-3000:]
+        losses = []
+        for out in outs:
+            lines = [ln for ln in out.splitlines() if 'RESULT' in ln]
+            assert lines, out[-3000:]
+            losses.append(float(lines[-1].split()[-1]))
+        # both ranks see the same replicated global loss ...
+        assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+        # ... and it matches the single-process step on the same batch
+        assert losses[0] == pytest.approx(ref, rel=2e-3)
 
 
 @pytest.mark.smoke

@@ -50,9 +50,21 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
         from jax.experimental import mesh_utils
         n_local = jax.local_device_count()
         assert n_local % model_parallel == 0, (n_local, model_parallel)
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(n_local // model_parallel, model_parallel),
-            dcn_mesh_shape=(jax.process_count(), 1))
+        # granule = DCN island.  TPU multi-slice exposes slice_index; when
+        # absent (single slice, or CPU gloo validation runs) fall back to
+        # the process as the granule -- still a valid DCN-outer layout.
+        slices = {getattr(d, 'slice_index', 0) for d in jax.devices()}
+        if len(slices) > 1:
+            per_slice = jax.device_count() // len(slices)
+            assert per_slice % model_parallel == 0, (per_slice, model_parallel)
+            arr = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(per_slice // model_parallel, model_parallel),
+                dcn_mesh_shape=(len(slices), 1))
+        else:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(n_local // model_parallel, model_parallel),
+                dcn_mesh_shape=(jax.process_count(), 1),
+                process_is_granule=True)
         return Mesh(arr, ('data', 'model'))
     devices = list(devices or jax.devices())
     if n_devices is not None:
