@@ -41,6 +41,19 @@ def lrelu(x: jnp.ndarray, slope: float = LRELU_SLOPE) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+# auto-select threshold for the block-diag dense grouped-conv lowering.
+# Measured on v5e at DiscriminatorS geometry (round 3): dense wins in
+# ISOLATION at every group count (fwd+bwd 1.86/1.88/1.83/2.25 ms for
+# g=4/8/32/64 vs grouped 3.09/3.16/2.88/2.32) and also at the FULL GAN-step
+# level -- switching g>=32 layers to native grouped regressed the step
+# 87.9 -> 99.4 ms despite saving the 10-43 MB inflated-kernel materialization
+# and copies.  Default is therefore dense always (threshold inf); the env
+# knob is kept for re-measurement on other TPU generations.
+import os as _os
+_DENSE_KERNEL_MAX_BYTES = int(_os.environ.get(
+    'TTRG_DENSE_GCONV_MAX_BYTES', 2 ** 62))
+
+
 def _block_diag_dense(w: jnp.ndarray, groups: int) -> jnp.ndarray:
     """Expand a grouped-conv kernel [K, Cin/G, F] to the equivalent dense
     kernel [K, Cin, F] with zeros off the group blocks.
@@ -51,6 +64,15 @@ def _block_diag_dense(w: jnp.ndarray, groups: int) -> jnp.ndarray:
     dense conv over a block-diagonal kernel is numerically identical in both
     the forward and backward directions (zero blocks contribute zero and
     receive zero gradient) and runs on the fast dense path.
+
+    The trick stops paying at large group counts: the inflated dense kernel
+    is materialized (and layout-copied in the backward pass) every step, and
+    for DiscriminatorS's g=32/64 layers that is a 10-43 MB tensor dwarfing
+    the activations (T<=512 there) -- a round-3 GAN-step device profile shows
+    multi-ms copy/layout ops on exactly those f32[41,512,512] kernels.  The
+    auto heuristic therefore picks dense only while the dense kernel stays
+    small (see ``_DENSE_KERNEL_MAX_BYTES``); both modes are numerically
+    identical either way.
     """
     k, cin_g, f = w.shape
     wg = w.reshape(k, cin_g, groups, f // groups)
@@ -84,8 +106,10 @@ class WNConv(nn.Module):
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
         w = v * (g[None, None, :] / norm)
         b = self.param('b', nn.initializers.zeros, (self.features,))
+        dense_kernel_bytes = self.kernel * cin * self.features * 4
         dense = (self.dense_groups if self.dense_groups is not None
-                 else jax.default_backend() == 'tpu')
+                 else (jax.default_backend() == 'tpu'
+                       and dense_kernel_bytes <= _DENSE_KERNEL_MAX_BYTES))
         groups = self.groups
         if groups > 1 and dense:
             w = _block_diag_dense(w, groups)
