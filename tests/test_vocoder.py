@@ -190,6 +190,70 @@ class TestGANStep:
         assert all(np.isfinite(float(v)) for v in metrics.values())
 
 
+class TestMixedPrecision:
+    """compute_dtype='bfloat16': f32 master params, bf16 conv stacks
+    (``models/precision.py``)."""
+
+    def _bf16_cfg(self):
+        cfg = small_cfg()
+        return dataclasses.replace(cfg, vocoder=dataclasses.replace(
+            cfg.vocoder, compute_dtype='bfloat16'))
+
+    def test_forward_close_to_f32(self, rng):
+        from transtacos_retunegan_tpu.train.vocoder_step import apply_generator
+        cfg32 = small_cfg()
+        cfg16 = self._bf16_cfg()
+        batch = {
+            'mel': jnp.asarray(rng.randn(B, FRAMES, 80).astype(np.float32)),
+            'tmpl': jnp.asarray(rng.randn(B, SEG).astype(np.float32) * 0.1),
+            'wav': jnp.asarray(rng.randn(B, SEG).astype(np.float32) * 0.1),
+        }
+        state = init_gan_state(cfg32, jax.random.PRNGKey(0), batch,
+                               steps_per_epoch=10)
+        y32 = apply_generator(cfg32, state.gen_params, batch, {}, train=False)
+        y16 = apply_generator(cfg16, state.gen_params, batch, {}, train=False)
+        assert y16.dtype == jnp.float32          # cast back at the boundary
+        # tanh-bounded outputs through a deep bf16 stack: small absolute drift
+        assert float(jnp.max(jnp.abs(y32 - y16))) < 0.1
+        assert float(jnp.mean(jnp.abs(y32 - y16))) < 0.02
+
+    def test_train_step_bf16_finite_and_params_stay_f32(self, rng):
+        # slim discriminators: the full-width bf16 GAN graph takes >6 min to
+        # compile on the CPU test backend; width/tower count don't change
+        # the cast paths being verified (every WN* layer casts identically)
+        cfg = self._bf16_cfg()
+        cfg = dataclasses.replace(cfg, vocoder=dataclasses.replace(
+            cfg.vocoder, disc_width_mult=0.25, mpd_periods=(3,),
+            msd_layers=1, multi_stft_params=((512, 256, 60),)))
+        batch = {
+            'mel': jnp.asarray(rng.randn(B, FRAMES, 80).astype(np.float32)),
+            'tmpl': jnp.asarray(rng.randn(B, SEG).astype(np.float32) * 0.1),
+            'wav': jnp.asarray(rng.randn(B, SEG).astype(np.float32) * 0.1),
+        }
+        state = init_gan_state(cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=10)
+        before = np.asarray(jax.tree.leaves(state.gen_params)[0])  # pre-donation
+        state2, metrics = gan_train_step(cfg, state, batch, jax.random.PRNGKey(1), 10)
+        for k in ('loss_gen_all', 'loss_disc_all', 'loss_mstft'):
+            assert np.isfinite(float(metrics[k])), k
+        for leaf in jax.tree.leaves(state2.gen_params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state2.disc_params):
+            assert leaf.dtype == jnp.float32
+        after = jax.tree.leaves(state2.gen_params)[0]
+        assert not np.allclose(before, np.asarray(after))
+
+    @pytest.mark.smoke
+    def test_ambient_context_resets(self):
+        from transtacos_retunegan_tpu.models.precision import (ambient_dtype,
+                                                               compute_dtype)
+        assert ambient_dtype() is None
+        with compute_dtype('bfloat16'):
+            assert ambient_dtype() == jnp.bfloat16
+            with compute_dtype('float32'):
+                assert ambient_dtype() is None
+        assert ambient_dtype() is None
+
+
 class TestGroupedDenseLowering:
     def test_block_diag_dense_equivalence(self):
         """Grouped conv == dense conv over the block-diagonal kernel, in both

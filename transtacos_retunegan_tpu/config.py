@@ -242,6 +242,11 @@ class VocoderConfig:
     # semantics).  The principled stabilizer when the Ds separate real/fake
     # early (small corpora): gamma/2 * E||grad_x D(x)||^2.
     r1_gamma: float = 0.0
+    # conv compute precision: 'float32' (reference semantics, default) or
+    # 'bfloat16' (TPU mixed precision: f32 master params/weight-norm/losses,
+    # bf16 conv stacks -- see models/precision.py).  Applies to training
+    # steps and generator inference alike.
+    compute_dtype: str = 'float32'
 
     @property
     def split_cv(self) -> bool:

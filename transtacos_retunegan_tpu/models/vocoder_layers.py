@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .precision import cast_compute
+
 LRELU_SLOPE = 0.15   # reference ``retunegan/utils.py:11``
 
 
@@ -114,6 +116,9 @@ class WNConv(nn.Module):
         if groups > 1 and dense:
             w = _block_diag_dense(w, groups)
             groups = 1
+        # mixed precision: weight-norm math above is f32; the conv and the
+        # elementwise ops XLA fuses around it run in the ambient dtype
+        x, w, b = cast_compute(x, w, b)
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(self.stride,), padding=[(pad, pad)],
             rhs_dilation=(self.dilation,), feature_group_count=groups,
@@ -148,6 +153,7 @@ class WNConvTranspose(nn.Module):
         b = self.param('b', nn.initializers.zeros, (self.features,))
         # torch transposed conv correlates with the flipped kernel
         w = w[::-1]
+        x, w, b = cast_compute(x, w, b)
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(1,),
             padding=[(self.kernel - 1 - p, self.kernel - 1 - p + op)],
@@ -172,6 +178,7 @@ class WNConv2d(nn.Module):
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
         w = v * (g[None, None, None, :] / norm)
         b = self.param('b', nn.initializers.zeros, (self.features,))
+        x, w, b = cast_compute(x, w, b)
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=self.stride,
             padding=[(self.padding[0], self.padding[0]),

@@ -31,6 +31,7 @@ from ..audio import dsp, features
 from ..config import Config
 from ..models.acoustic import Tacotron
 from ..models.generators import make_generator
+from ..models.precision import compute_dtype
 from ..text import frontend
 from ..train import checkpoint as ckpt
 from ..train.acoustic_step import init_state
@@ -167,9 +168,10 @@ class Synthesizer:
             tmpl = dsp.inv_log_mag(log_mag, cfg.audio, length=wavlen - 1, key=key)
             tmpl = jnp.pad(tmpl, (0, 1))
             gen = make_generator(cfg)
-            wav = gen.apply({'params': gen_params}, mel.T[None],
-                            tmpl[None, :, None], train=False)
-            return wav[0, :, 0]
+            with compute_dtype(cfg.vocoder.compute_dtype):
+                wav = gen.apply({'params': gen_params}, mel.T[None],
+                                tmpl[None, :, None], train=False)
+            return wav[0, :, 0].astype(jnp.float32)
         return fn
 
     def _build_vocode_batch(self, n_frames: int):
@@ -194,9 +196,10 @@ class Synthesizer:
 
             mels, tmpls = jax.vmap(mel_and_tmpl)(mags, keys)
             gen = make_generator(cfg)
-            wavs = gen.apply({'params': gen_params}, mels, tmpls[..., None],
-                             train=False)
-            return wavs[..., 0]
+            with compute_dtype(cfg.vocoder.compute_dtype):
+                wavs = gen.apply({'params': gen_params}, mels, tmpls[..., None],
+                                 train=False)
+            return wavs[..., 0].astype(jnp.float32)
         return fn
 
     def _build_tts_fused(self, n_pad: int):
@@ -242,9 +245,10 @@ class Synthesizer:
                                    key=key)
             tmpl = jnp.pad(tmpl, (0, 1))
             gen = make_generator(cfg)
-            wav = gen.apply({'params': gen_params}, mel.T[None],
-                            tmpl[None, :, None], train=False)
-            return wav[0, :, 0], out_len[0]
+            with compute_dtype(cfg.vocoder.compute_dtype):
+                wav = gen.apply({'params': gen_params}, mel.T[None],
+                                tmpl[None, :, None], train=False)
+            return wav[0, :, 0].astype(jnp.float32), out_len[0]
         return fn
 
     def tts_fused(self, pinyin: str) -> np.ndarray:

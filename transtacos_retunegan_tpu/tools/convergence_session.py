@@ -224,6 +224,10 @@ def main():
                         'when the discriminators saturate on a small corpus '
                         '(they hit exact 1/0 LSGAN targets and the '
                         'adversarial gradient derails the generator).')
+    p.add_argument('--compute_dtype', default='float32',
+                   choices=['float32', 'bfloat16'],
+                   help='vocoder conv precision for the GAN leg (bfloat16 = '
+                        'TPU mixed precision, models/precision.py)')
     p.add_argument('--skip_acoustic', action='store_true', default=False)
     p.add_argument('--skip_gan', action='store_true', default=False)
     p.add_argument('--skip_eval', action='store_true', default=False)
@@ -247,7 +251,8 @@ def main():
     import dataclasses
     acfg = dataclasses.replace(
         cfg, acoustic=dataclasses.replace(cfg.acoustic, frame_bucket=320),
-        vocoder=dataclasses.replace(cfg.vocoder, r1_gamma=args.r1_gamma))
+        vocoder=dataclasses.replace(cfg.vocoder, r1_gamma=args.r1_gamma,
+                                    compute_dtype=args.compute_dtype))
     cfg_path = acfg.save(f'{base}/cfg')
     ac_run, vo_run = f'{base}/ac_run', f'{base}/vo_run'
 
@@ -315,14 +320,21 @@ def main():
     # ---- trained-checkpoint evaluation
     ev = {}
     if not args.skip_eval:
-        ev['teacher_forced'] = eval_teacher_forced(acfg, data_dir, ac_run)
-        print(f"# teacher-forced held-out: {ev['teacher_forced']}", flush=True)
-        ev['synthesis'] = eval_synthesis(acfg, data_dir, ac_run, vo_run,
-                                         args.out_dir)
-        print(f"# synthesis: diagonality={ev['synthesis']['mean_diagonality']:.3f} "
-              f"focus={ev['synthesis']['mean_focus']:.3f}", flush=True)
-        ev['vocoder_vs_gl'] = eval_vocoder_vs_gl(acfg, data_dir, vo_run)
-        print(f"# vocoder vs GL: {ev['vocoder_vs_gl']}", flush=True)
+        # each eval leg needs its model's run dir -- tolerate partial
+        # sessions (e.g. a GAN-only leg run with --skip_acoustic)
+        if os.path.isdir(ac_run):
+            ev['teacher_forced'] = eval_teacher_forced(acfg, data_dir, ac_run)
+            print(f"# teacher-forced held-out: {ev['teacher_forced']}",
+                  flush=True)
+            if os.path.isdir(vo_run):
+                ev['synthesis'] = eval_synthesis(acfg, data_dir, ac_run,
+                                                 vo_run, args.out_dir)
+                print(f"# synthesis: diagonality="
+                      f"{ev['synthesis']['mean_diagonality']:.3f} "
+                      f"focus={ev['synthesis']['mean_focus']:.3f}", flush=True)
+        if os.path.isdir(vo_run):
+            ev['vocoder_vs_gl'] = eval_vocoder_vs_gl(acfg, data_dir, vo_run)
+            print(f"# vocoder vs GL: {ev['vocoder_vs_gl']}", flush=True)
         with open(os.path.join(args.out_dir, 'quality_eval.json'), 'w') as fh:
             json.dump(ev, fh, indent=2)
     elif os.path.exists(os.path.join(args.out_dir, 'quality_eval.json')):

@@ -37,6 +37,10 @@ def train(args) -> None:
                                  getattr(args, 'num_processes', None),
                                  getattr(args, 'process_id', None))
     cfg = Config.load(args.config) if args.config else Config()
+    if getattr(args, 'compute_dtype', None):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, vocoder=dataclasses.replace(
+            cfg.vocoder, compute_dtype=args.compute_dtype))
     if args.debug_nans:
         jax.config.update('jax_debug_nans', True)
     hv = cfg.vocoder
@@ -225,6 +229,10 @@ def main():
     p.add_argument('--num_processes', type=int, default=None)
     p.add_argument('--process_id', type=int, default=None)
     p.add_argument('--debug_nans', action='store_true', default=False)
+    p.add_argument('--compute_dtype', default=None,
+                   choices=['float32', 'bfloat16'],
+                   help='conv compute precision (overrides config); bfloat16 '
+                        '= TPU mixed precision with f32 master params')
     train(p.parse_args())
 
 

@@ -22,6 +22,7 @@ from ..models.discriminators import (MultiPeriodDiscriminator,
                                      MultiScaleDiscriminator,
                                      MultiStftDiscriminator)
 from ..models.generators import make_generator
+from ..models.precision import compute_dtype
 from ..models import vocoder_losses as L
 
 
@@ -62,26 +63,36 @@ def make_optimizers(cfg: Config, steps_per_epoch: int
 
 def apply_generator(cfg: Config, params, batch: Dict[str, Any], rngs,
                     train: bool) -> jnp.ndarray:
-    """Run the configured generator; returns wav [B, S]."""
+    """Run the configured generator; returns f32 wav [B, S].
+
+    Under ``compute_dtype='bfloat16'`` the conv stacks run in bf16 (ambient
+    policy, ``models/precision.py``); the waveform is cast back to f32 here
+    so every loss sees full precision.
+    """
     gen = make_generator(cfg)
-    if cfg.vocoder.split_cv:
-        out = gen.apply({'params': params}, batch['mel_c'], batch['mel_v'],
-                        batch['tmpl_c'][..., None], batch['tmpl_v'][..., None],
-                        batch['uv'][..., None], train=train, rngs=rngs)
-    else:
-        out = gen.apply({'params': params}, batch['mel'],
-                        batch['tmpl'][..., None], train=train, rngs=rngs)
-    return out[..., 0]
+    with compute_dtype(cfg.vocoder.compute_dtype):
+        if cfg.vocoder.split_cv:
+            out = gen.apply({'params': params}, batch['mel_c'], batch['mel_v'],
+                            batch['tmpl_c'][..., None], batch['tmpl_v'][..., None],
+                            batch['uv'][..., None], train=train, rngs=rngs)
+        else:
+            out = gen.apply({'params': params}, batch['mel'],
+                            batch['tmpl'][..., None], train=train, rngs=rngs)
+    return out[..., 0].astype(jnp.float32)
 
 
 def _disc_forward(cfg: Config, dparams, y, y_hat, specs_r, specs_g):
     msd = MultiScaleDiscriminator(cfg)
     mpd = MultiPeriodDiscriminator(cfg)
     mtd = MultiStftDiscriminator(cfg)
-    s = msd.apply({'params': dparams['msd']}, y[..., None], y_hat[..., None])
-    p = mpd.apply({'params': dparams['mpd']}, y[..., None], y_hat[..., None])
-    t = mtd.apply({'params': dparams['mtd']}, specs_r, specs_g)
-    return s, p, t
+    with compute_dtype(cfg.vocoder.compute_dtype):
+        s = msd.apply({'params': dparams['msd']}, y[..., None], y_hat[..., None])
+        p = mpd.apply({'params': dparams['mpd']}, y[..., None], y_hat[..., None])
+        t = mtd.apply({'params': dparams['mtd']}, specs_r, specs_g)
+    # scores and feature maps feed f32 LSGAN/FM losses; XLA fuses the
+    # upcasts into the consuming reductions
+    f32 = functools.partial(jax.tree.map, lambda a: a.astype(jnp.float32))
+    return f32(s), f32(p), f32(t)
 
 
 def init_gan_state(cfg: Config, rng: jax.Array, batch: Dict[str, Any],
