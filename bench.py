@@ -203,18 +203,29 @@ def main():
                               max_iters=max_iters)
             return out['mag_outputs']
 
-    @jax.jit
-    def vocode(params, mag, key):
-        s = dsp.spec_to_natural_scale(mag[0].T, au)
-        s = dsp.fix_zero_dc(s, au)
-        mel = jnp.log(jnp.clip(dsp.mag_to_mel(s, au), min=dsp.EPS_AMP))
-        log_mag = jnp.log(jnp.clip(s, min=dsp.EPS_AMP))
-        wavlen = au.hop_length * t_frames
-        tmpl = dsp.inv_log_mag(log_mag, au, length=wavlen - 1, key=key)
-        tmpl = jnp.pad(tmpl, (0, 1))
-        wav = gen.apply({'params': params}, mel.T[None], tmpl[None, :, None],
-                        train=False)
-        return wav[0, :, 0]
+    # production serving precision (mirrors serve/pipeline.py 'auto'):
+    # bf16 vocoder conv stacks on TPU, f32 elsewhere.  Validated end to end
+    # in docs/convergence/bf16/ (bf16-trained vocoder beats its GL template).
+    from transtacos_retunegan_tpu.models.precision import compute_dtype
+    infer_dtype = 'bfloat16' if use_fused else 'float32'
+
+    def _make_vocode(dtype):
+        @jax.jit
+        def vocode(params, mag, key):
+            s = dsp.spec_to_natural_scale(mag[0].T, au)
+            s = dsp.fix_zero_dc(s, au)
+            mel = jnp.log(jnp.clip(dsp.mag_to_mel(s, au), min=dsp.EPS_AMP))
+            log_mag = jnp.log(jnp.clip(s, min=dsp.EPS_AMP))
+            wavlen = au.hop_length * t_frames
+            tmpl = dsp.inv_log_mag(log_mag, au, length=wavlen - 1, key=key)
+            tmpl = jnp.pad(tmpl, (0, 1))
+            with compute_dtype(dtype):
+                wav = gen.apply({'params': params}, mel.T[None],
+                                tmpl[None, :, None], train=False)
+            return wav[0, :, 0].astype(jnp.float32)
+        return vocode
+
+    vocode = _make_vocode(infer_dtype)
 
     key = jax.random.PRNGKey(3)
 
@@ -224,28 +235,48 @@ def main():
     wav = vocode(gen_params, mag, key)
     float(jnp.sum(wav))
 
-    # steady-state warmup: the FIRST batch of executions after a compile
-    # runs ~7x slower on this backend (per-executable warmup); run one
-    # throwaway loop per stage so the measurement reflects production rate
-    warm = [acoustic(ac_params, text_j, lens_j) for _ in range(8)]
-    float(sum(jnp.sum(m) for m in warm))
-    warm = [vocode(gen_params, mag, key) for _ in range(8)]
-    float(sum(jnp.sum(w) for w in warm))
-
     # (1) sustained throughput at fixed QPS (BASELINE config 5): pipeline
     # n_rep requests, materialize once -- amortizes this harness's per-call
     # RPC tunnel latency (fixed ~0.7 s service window regardless of work),
-    # measuring actual device time per utterance
-    n_rep = 24
-    t0 = time.perf_counter()
-    mags = [acoustic(ac_params, text_j, lens_j) for _ in range(n_rep)]
-    float(sum(jnp.sum(m) for m in mags))
-    t_ac = (time.perf_counter() - t0) / n_rep
+    # measuring actual device time per utterance.  Steady state = MIN over
+    # consecutive trials: per-executable warmup on this backend is a 5-7x
+    # slowdown whose window is NOT a fixed call count (it has outlasted a
+    # 45-call warmup loop), so a single warmup-then-measure block is unsafe.
+    n_rep, n_trial = 24, 3
 
-    t0 = time.perf_counter()
-    wavs = [vocode(gen_params, mags[i], key) for i in range(n_rep)]
-    float(sum(jnp.sum(w) for w in wavs))
-    t_vo = (time.perf_counter() - t0) / n_rep
+    def _min_trials(fn_once):
+        times = []
+        for _ in range(n_trial):
+            t0 = time.perf_counter()
+            fn_once()
+            times.append((time.perf_counter() - t0) / n_rep)
+        return min(times)
+
+    mags = [None] * n_rep
+
+    def _ac_trial():
+        for i in range(n_rep):
+            mags[i] = acoustic(ac_params, text_j, lens_j)
+        float(sum(jnp.sum(m) for m in mags))
+    t_ac = _min_trials(_ac_trial)
+
+    def _vo_trial():
+        wavs = [vocode(gen_params, mags[i], key) for i in range(n_rep)]
+        float(sum(jnp.sum(w) for w in wavs))
+    t_vo = _min_trials(_vo_trial)
+
+    # f32 vocoder for comparison when production runs bf16
+    t_vo_f32 = None
+    if infer_dtype != 'float32':
+        vocode_f32 = _make_vocode('float32')
+        w = vocode_f32(gen_params, mags[0], key)
+        float(jnp.sum(w))
+
+        def _vo32_trial():
+            ws = [vocode_f32(gen_params, mags[i], key) for i in range(n_rep)]
+            float(sum(jnp.sum(x) for x in ws))
+        t_vo_f32 = _min_trials(_vo32_trial)
+        del vocode_f32
 
     # (2) cold single-request latency (includes this harness's RPC tunnel
     # round trips; on directly-attached hardware this matches (1) closely)
@@ -260,7 +291,7 @@ def main():
     ac_infer_flops = _compiled_flops(acoustic, ac_params, text_j, lens_j)
     vo_infer_flops = _compiled_flops(vocode, gen_params, mags[0], key)
 
-    del mags, wavs, mag, wav, w
+    del mags, mag, wav, w
     t0 = time.time()
     ac_step_s, gan_step_s, ac_flops, gan_flops = _bench_train_steps(cfg)
     print(f'# train-step bench {time.time() - t0:.1f}s', file=sys.stderr)
@@ -281,6 +312,8 @@ def main():
             'mel_frames_per_s': round(t_frames / t_ac, 1),
             'vocoder_samples_per_s': round(t_frames * au.hop_length / t_vo, 1),
             'fused_pallas_decoder': use_fused,
+            'vocoder_infer_dtype': infer_dtype,
+            'vocoder_s_f32': round(t_vo_f32, 4) if t_vo_f32 else None,
             'acoustic_step_ms': round(ac_step_s * 1000, 1),
             'gan_step_ms': round(gan_step_s * 1000, 1),
             'gan_step_vs_ref_2.36': round(2.36 / gan_step_s, 1),
