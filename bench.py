@@ -242,15 +242,15 @@ def main():
     # consecutive trials: per-executable warmup on this backend is a 5-7x
     # slowdown whose window is NOT a fixed call count (it has outlasted a
     # 45-call warmup loop), so a single warmup-then-measure block is unsafe.
+    from transtacos_retunegan_tpu.tools.bench_precision import _min_of_trials
     n_rep, n_trial = 24, 3
 
-    def _min_trials(fn_once):
-        times = []
-        for _ in range(n_trial):
+    def _min_trials(fn_once, tag):
+        def trial():
             t0 = time.perf_counter()
             fn_once()
-            times.append((time.perf_counter() - t0) / n_rep)
-        return min(times)
+            return (time.perf_counter() - t0) / n_rep
+        return _min_of_trials(trial, n_trial, tag)
 
     mags = [None] * n_rep
 
@@ -258,24 +258,28 @@ def main():
         for i in range(n_rep):
             mags[i] = acoustic(ac_params, text_j, lens_j)
         float(sum(jnp.sum(m) for m in mags))
-    t_ac = _min_trials(_ac_trial)
+    _ac_trial()                                 # throwaway warmup trial
+    t_ac = _min_trials(_ac_trial, 'acoustic')
 
     def _vo_trial():
         wavs = [vocode(gen_params, mags[i], key) for i in range(n_rep)]
         float(sum(jnp.sum(w) for w in wavs))
-    t_vo = _min_trials(_vo_trial)
+    _vo_trial()                                 # throwaway warmup trial
+    t_vo = _min_trials(_vo_trial, 'vocode')
 
-    # f32 vocoder for comparison when production runs bf16
+    # f32 vocoder for comparison when production runs bf16.  This program is
+    # freshly built here, so burn two full throwaway trials first: the
+    # per-executable warmup window has been observed past 50 calls, and a
+    # min() over still-warming trials would overstate the bf16 advantage.
     t_vo_f32 = None
     if infer_dtype != 'float32':
         vocode_f32 = _make_vocode('float32')
-        w = vocode_f32(gen_params, mags[0], key)
-        float(jnp.sum(w))
 
         def _vo32_trial():
             ws = [vocode_f32(gen_params, mags[i], key) for i in range(n_rep)]
             float(sum(jnp.sum(x) for x in ws))
-        t_vo_f32 = _min_trials(_vo32_trial)
+        _vo32_trial(); _vo32_trial()
+        t_vo_f32 = _min_trials(_vo32_trial, 'vocode_f32')
         del vocode_f32
 
     # (2) cold single-request latency (includes this harness's RPC tunnel

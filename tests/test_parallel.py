@@ -243,10 +243,19 @@ class TestRealMultiProcess:
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True) for i in range(2)]
         outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=420)
-            outs.append(out)
-            assert p.returncode == 0, out[-3000:]
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                outs.append(out)
+                assert p.returncode == 0, out[-3000:]
+        finally:
+            # reap both children on timeout/assert -- a surviving rank
+            # blocked in jax.distributed.initialize would hold the
+            # coordinator port and wedge later runs
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         losses = []
         for out in outs:
             lines = [ln for ln in out.splitlines() if 'RESULT' in ln]

@@ -114,6 +114,55 @@ class TestPipeline:
         assert synth._vocode_fn.cache_info().currsize == n_before
 
 
+class TestMeshDPServing:
+    """Data-parallel serving: batched surfaces shard over a device mesh."""
+
+    @pytest.fixture(scope='class')
+    def dp_synth(self, synth):
+        import jax
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:4]), ('data',))
+        return Synthesizer(synth.cfg, mesh=mesh)
+
+    def test_fused_decoder_with_mesh_raises(self, synth):
+        import jax
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:4]), ('data',))
+        with pytest.raises(ValueError, match='fused_decoder'):
+            Synthesizer(synth.cfg, mesh=mesh, fused_decoder=True)
+
+    def test_spec_batch_matches_unsharded(self, synth, dp_synth):
+        """b=3 pads to the 4-way data axis; results match the plain path."""
+        texts = ['ni3 hao3', 'zhong1 guo2 ren2', 'a1']
+        plain = synth.synthesize_spec_batch(texts)
+        sharded = dp_synth.synthesize_spec_batch(texts)
+        assert len(sharded) == 3
+        for p, s in zip(plain, sharded):
+            assert p.shape == s.shape
+            np.testing.assert_allclose(p, s, rtol=1e-3, atol=1e-4)
+
+    def test_vocode_batch_matches_unsharded(self, synth, dp_synth):
+        import jax
+        spec = synth.synthesize_spec('ni3 hao3')
+        t_pad = -(-max(spec.shape[1], 64) // 64) * 64
+        pad = np.full((spec.shape[0], t_pad - spec.shape[1]),
+                      float(spec.min()), spec.dtype)
+        mag = np.concatenate([spec, pad], axis=1)
+        mags = np.stack([mag] * 4)
+        keys = jax.random.split(jax.random.PRNGKey(7), 4)
+        plain = np.asarray(synth._vocode_batch_fn(t_pad)(
+            synth.gen_params, mags, keys))
+        sharded = np.asarray(dp_synth._vocode_batch_fn(t_pad)(
+            dp_synth.gen_params, mags, keys))
+        np.testing.assert_allclose(plain, sharded, rtol=1e-3, atol=1e-4)
+
+    def test_tts_batch_end_to_end(self, dp_synth):
+        wavs = dp_synth.tts_batch(['ni3 hao3', 'zhong1 guo2'], neural=True)
+        assert len(wavs) == 2
+        for w in wavs:
+            assert len(w) > 0 and np.isfinite(w).all()
+
+
 class TestHTTP:
     @pytest.fixture(scope='class')
     def servers(self, synth):

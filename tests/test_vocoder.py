@@ -283,6 +283,39 @@ class TestGroupedDenseLowering:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestRealBranchOnly:
+    def test_multi_stft_specs_matches_loss_variant(self, rng):
+        """The R1 fast path's real-branch specs are identical to the
+        specs_r half of multi_stft_specs_and_loss."""
+        cfg = small_cfg()
+        y = jnp.asarray(rng.randn(2, SEG).astype(np.float32) * 0.1)
+        _, specs_r, _ = L.multi_stft_specs_and_loss(y, y * 0.5, cfg)
+        specs = L.multi_stft_specs(y, cfg)
+        assert len(specs) == len(specs_r)
+        for a, b in zip(specs, specs_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_disc_real_branch_scores_match_full(self, rng):
+        """y_hat=None returns the same real scores/feature maps as the
+        two-branch forward (the R1 double-backward depends on this)."""
+        cfg = small_cfg()
+        y = jnp.asarray(rng.randn(1, SEG, 1).astype(np.float32) * 0.1)
+        yh = jnp.asarray(rng.randn(1, SEG, 1).astype(np.float32) * 0.1)
+        for M in (MultiScaleDiscriminator, MultiPeriodDiscriminator):
+            m = M(cfg)
+            params = m.init(jax.random.PRNGKey(0), y, yh)['params']
+            rs_full, gs, fr_full, _ = m.apply({'params': params}, y, yh)
+            rs_only, gs0, fr_only, fg0 = m.apply({'params': params}, y)
+            assert gs0 == [] and fg0 == []
+            assert len(gs) == len(rs_full)
+            for a, b in zip(rs_full, rs_only):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+            for fa, fb in zip(fr_full, fr_only):
+                for a, b in zip(fa, fb):
+                    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 class TestR1Penalty:
     def test_r1_step_finite_and_positive(self, rng):
         """Opt-in R1 penalty (r1_gamma > 0): the D step runs the

@@ -242,10 +242,13 @@ class VocoderConfig:
     # semantics).  The principled stabilizer when the Ds separate real/fake
     # early (small corpora): gamma/2 * E||grad_x D(x)||^2.
     r1_gamma: float = 0.0
-    # conv compute precision: 'float32' (reference semantics, default) or
-    # 'bfloat16' (TPU mixed precision: f32 master params/weight-norm/losses,
-    # bf16 conv stacks -- see models/precision.py).  Applies to training
-    # steps and generator inference alike.
+    # conv compute precision for TRAINING steps: 'float32' (reference
+    # semantics, default) or 'bfloat16' (TPU mixed precision: f32 master
+    # params/weight-norm/losses, bf16 conv stacks -- models/precision.py).
+    # Serving is governed separately by ``Synthesizer(infer_dtype=...)``,
+    # which defaults to bf16 on TPU regardless of this field (validated in
+    # docs/convergence/bf16/); pass infer_dtype='float32' to force f32
+    # inference.
     compute_dtype: str = 'float32'
 
     @property

@@ -68,17 +68,21 @@ class MultiScaleDiscriminator(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray = None):
+        """y_hat=None runs the real branch only (R1 penalty path)."""
         hv = self.cfg.vocoder
         rs, gs, fr, fg = [], [], [], []
         for i in range(hv.msd_layers):
             d = DiscriminatorS(hv.disc_width_mult, name=f'disc_{i}')
             sr, fmr = d(y)
-            sg, fmg = d(y_hat)
-            rs.append(sr); gs.append(sg); fr.append(fmr); fg.append(fmg)
+            rs.append(sr); fr.append(fmr)
+            if y_hat is not None:
+                sg, fmg = d(y_hat)
+                gs.append(sg); fg.append(fmg)
             if i != hv.msd_layers - 1:
                 y = _avg_pool1d(y, hv.downsample_pool_k, 2, 1)
-                y_hat = _avg_pool1d(y_hat, hv.downsample_pool_k, 2, 1)
+                if y_hat is not None:
+                    y_hat = _avg_pool1d(y_hat, hv.downsample_pool_k, 2, 1)
         return rs, gs, fr, fg
 
 
@@ -129,14 +133,17 @@ class MultiPeriodDiscriminator(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray = None):
+        """y_hat=None runs the real branch only (R1 penalty path)."""
         rs, gs, fr, fg = [], [], [], []
         for p in self.cfg.vocoder.mpd_periods:
             d = DiscriminatorP(p, self.cfg.vocoder.disc_width_mult,
                                name=f'disc_p{p}')
             sr, fmr = d(y)
-            sg, fmg = d(y_hat)
-            rs.append(sr); gs.append(sg); fr.append(fmr); fg.append(fmg)
+            rs.append(sr); fr.append(fmr)
+            if y_hat is not None:
+                sg, fmg = d(y_hat)
+                gs.append(sg); fg.append(fmg)
         return rs, gs, fr, fg
 
 
@@ -171,12 +178,16 @@ class MultiStftDiscriminator(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, specs_r: Sequence[jnp.ndarray], specs_g: Sequence[jnp.ndarray]):
+    def __call__(self, specs_r: Sequence[jnp.ndarray],
+                 specs_g: Sequence[jnp.ndarray] = None):
+        """specs_g=None runs the real branch only (R1 penalty path)."""
         rs, gs, fr, fg = [], [], [], []
-        for i, (sr_in, sg_in) in enumerate(zip(specs_r, specs_g)):
+        for i, sr_in in enumerate(specs_r):
             d = StftDiscriminator(self.cfg.vocoder.disc_width_mult,
                                   name=f'disc_{i}')
             sr, fmr = d(sr_in)
-            sg, fmg = d(sg_in)
-            rs.append(sr); gs.append(sg); fr.append(fmr); fg.append(fmg)
+            rs.append(sr); fr.append(fmr)
+            if specs_g is not None:
+                sg, fmg = d(specs_g[i])
+                gs.append(sg); fg.append(fmg)
         return rs, gs, fr, fg

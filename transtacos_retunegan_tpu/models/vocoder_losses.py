@@ -52,6 +52,19 @@ def multi_stft_specs_and_loss(y: jnp.ndarray, y_g: jnp.ndarray, cfg: Config
     return loss / len(hv.multi_stft_params), specs_r, specs_g
 
 
+def multi_stft_specs(y: jnp.ndarray, cfg: Config) -> List[jnp.ndarray]:
+    """MTD 2-channel inputs for a single waveform: one STFT per resolution
+    (half the work of ``multi_stft_specs_and_loss(y, y, ...)`` and no
+    discarded loss) -- the R1-penalty real-branch path."""
+    specs = []
+    for n_fft, win_length, hop_length in cfg.vocoder.multi_stft_params:
+        s, _, p = dsp.stft_mag_mel_phase(y, cfg.audio, n_fft, win_length,
+                                         hop_length)
+        specs.append(jnp.stack([jnp.log(jnp.maximum(s, 1e-12)), p / PI],
+                               axis=-1))
+    return specs
+
+
 def _max_pool(y: jnp.ndarray, k: int) -> jnp.ndarray:
     """torch MaxPool1d(k) default stride=k, VALID; y: [B, S].
 

@@ -32,13 +32,27 @@ def main():
     p.add_argument('--vocoder_dir', default=None)
     p.add_argument('--kanji_table', default=None)
     p.add_argument('--max_iters', type=int, default=None)
+    p.add_argument('--dp', type=int, default=1,
+                   help='data-parallel serving over N local devices: the '
+                        'batched surfaces (tts_batch etc.) shard their '
+                        'batch dim over a jax.sharding.Mesh via GSPMD')
     args = p.parse_args()
 
     cfg = Config.load(args.config) if args.config else Config()
+    mesh = None
+    if args.dp > 1:
+        import numpy as np
+        import jax
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < args.dp:
+            raise SystemExit(f'--dp {args.dp} but only {len(devs)} devices')
+        mesh = Mesh(np.array(devs[:args.dp]), ('data',))
     synth = Synthesizer(cfg, acoustic_dir=args.acoustic_dir,
                         vocoder_dir=args.vocoder_dir,
                         kanji_table=args.kanji_table,
-                        max_iters=args.max_iters)
+                        max_iters=args.max_iters,
+                        mesh=mesh)
 
     # warm the compile caches with a short utterance
     print('warming up...')

@@ -51,14 +51,17 @@ class Synthesizer:
                  max_iters: Optional[int] = None,
                  fused_decoder: Optional[bool] = None,
                  infer_dtype: str = 'auto',
+                 mesh=None,
                  seed: int = 114514):
         self.cfg = cfg or Config()
         self.max_iters = max_iters or self.cfg.acoustic.max_iters
         if fused_decoder is None:
             # pallas fused decoder is ~28x the flax scan on TPU; compiled
             # pallas is unavailable off-TPU and interpret mode is slower
-            # than the flax path, so auto-select by backend
-            fused_decoder = jax.default_backend() == 'tpu'
+            # than the flax path, so auto-select by backend.  Mesh-DP
+            # serving forces the flax path: the pallas kernel is a custom
+            # call GSPMD cannot partition over the batch axis.
+            fused_decoder = jax.default_backend() == 'tpu' and mesh is None
         self.fused_decoder = fused_decoder
         # vocoder inference precision.  'auto' = bf16 on TPU (1.22x the
         # f32 forward; a bf16-trained-and-evaluated vocoder beats its GL
@@ -69,6 +72,19 @@ class Synthesizer:
             infer_dtype = ('bfloat16' if jax.default_backend() == 'tpu'
                            else self.cfg.vocoder.compute_dtype)
         self.infer_dtype = infer_dtype
+        # optional data-parallel serving: a jax.sharding.Mesh with a 'data'
+        # axis shards the BATCHED surfaces (synthesize_spec_batch /
+        # vocode_batch / tts_batch) over chips via GSPMD -- params
+        # replicated, batch dim split, XLA inserts the collectives.  The
+        # fused pallas decoder is a custom call GSPMD cannot partition, so
+        # the acoustic stage shards only on the flax-scan path
+        # (fused_decoder=False); the vocoder conv stacks always shard.
+        self.mesh = mesh
+        self._dp = int(mesh.shape['data']) if mesh is not None else 1
+        if mesh is not None and self.fused_decoder:
+            raise ValueError('mesh-DP serving requires fused_decoder=False: '
+                             'the pallas decode kernel is a custom call '
+                             'GSPMD cannot partition over the batch axis')
         self._rng = jax.random.PRNGKey(seed)
         self.kanji2pinyin = frontend.KanjiPinyin(kanji_table)
 
@@ -106,6 +122,28 @@ class Synthesizer:
     # ------------------------------------------------------------------
     # jitted stage builders (cached per shape bucket)
     # ------------------------------------------------------------------
+    def _jit_sharded(self, fn, batch_argnums, n_args):
+        """jit with mesh-DP shardings: batch args split on 'data', params
+        replicated.  Falls back to plain jit when no mesh is configured.
+        Single-request paths (tts_fused, vocode, _build_gl) stay unsharded
+        on purpose -- a batch of 1 cannot split over the data axis."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        dat = NamedSharding(self.mesh, P('data'))
+        in_sh = tuple(dat if i in batch_argnums else rep
+                      for i in range(n_args))
+        return jax.jit(fn, in_shardings=in_sh)
+
+    def _pad_rows(self, b: int) -> int:
+        """Batch rows to allocate so the compile-key space stays small
+        (power of two) and, under mesh DP, every shard gets equal rows."""
+        b_pad = 1 << (b - 1).bit_length()
+        if self._dp > 1:
+            b_pad = _round_up(b_pad, self._dp)
+        return b_pad
+
     def _dummy_batch(self) -> Dict[str, jnp.ndarray]:
         r = self.cfg.acoustic.outputs_per_step
         t = 4 * r
@@ -143,12 +181,11 @@ class Synthesizer:
                 return out
             return fn
 
-        @jax.jit
         def fn(params, text, text_lengths):
             model = Tacotron(cfg)
             return model.apply({'params': params}, text, text_lengths,
                                train=False, max_iters=steps)
-        return fn
+        return self._jit_sharded(fn, {1, 2}, 3)
 
     def _build_gl(self, n_frames: int):
         cfg = self.cfg
@@ -193,7 +230,6 @@ class Synthesizer:
         being paid per spec (round-1 ``tts_batch`` vocoded serially)."""
         cfg = self.cfg
 
-        @jax.jit
         def fn(gen_params, mags, keys):
             def mel_and_tmpl(mag_natural, key):
                 mel = jnp.log(jnp.clip(dsp.mag_to_mel(mag_natural, cfg.audio),
@@ -210,7 +246,7 @@ class Synthesizer:
                 wavs = gen.apply({'params': gen_params}, mels, tmpls[..., None],
                                  train=False)
             return wavs[..., 0].astype(jnp.float32)
-        return fn
+        return self._jit_sharded(fn, {1, 2}, 3)
 
     def _build_tts_fused(self, n_pad: int):
         """ONE jitted dispatch for text -> wav (single-request latency path:
@@ -373,7 +409,7 @@ class Synthesizer:
         t_real = [s.shape[1] for s in oriented]
         t_pad = _round_up(max(max(t_real), 64), 64)
         b = len(oriented)
-        b_pad = 1 << (b - 1).bit_length()
+        b_pad = self._pad_rows(b)
         mags = np.zeros((b_pad, n_freq, t_pad), np.float32)
         for i, s in enumerate(oriented):
             mags[i, :, :s.shape[1]] = s
@@ -401,9 +437,13 @@ class Synthesizer:
         n_max = max(s.shape[0] for s in seqs)
         n_pad = _round_up(max(n_max, 1), self.cfg.acoustic.text_bucket)
         b = len(seqs)
-        text = np.zeros((b, n_pad, 2), np.int32)
-        lens = np.zeros((b,), np.int32)
-        for i, s in enumerate(seqs):
+        # under mesh DP, rows must divide evenly over the data axis; fill
+        # rows repeat request 0 and are dropped below
+        b_pad = _round_up(b, self._dp)
+        text = np.zeros((b_pad, n_pad, 2), np.int32)
+        lens = np.zeros((b_pad,), np.int32)
+        for i in range(b_pad):
+            s = seqs[i if i < b else 0]
             text[i, :s.shape[0]] = s
             lens[i] = s.shape[0]
         # batch size is part of the compile key; cache per (n_pad, b)

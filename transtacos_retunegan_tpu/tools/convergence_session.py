@@ -335,8 +335,11 @@ def main():
         if os.path.isdir(vo_run):
             ev['vocoder_vs_gl'] = eval_vocoder_vs_gl(acfg, data_dir, vo_run)
             print(f"# vocoder vs GL: {ev['vocoder_vs_gl']}", flush=True)
-        with open(os.path.join(args.out_dir, 'quality_eval.json'), 'w') as fh:
-            json.dump(ev, fh, indent=2)
+        # only write when something was evaluated: an all-skipped session
+        # must not clobber a committed quality_eval.json with {}
+        if ev:
+            with open(os.path.join(args.out_dir, 'quality_eval.json'), 'w') as fh:
+                json.dump(ev, fh, indent=2)
     elif os.path.exists(os.path.join(args.out_dir, 'quality_eval.json')):
         ev = json.load(open(os.path.join(args.out_dir, 'quality_eval.json')))
 

@@ -113,8 +113,11 @@ def run(argv=None) -> float:
     state = init_state(cfg, jax.random.PRNGKey(0),
                        jax.tree.map(jnp.asarray, batch))
     mesh = make_mesh()          # multi-process -> hybrid DCN x ICI layout
-    state = type(state)(state.step, replicate(mesh, state.params),
-                        replicate(mesh, state.opt_state))
+    # _replace keeps every other TrainState field (e.g. extra_vars carrying
+    # CBHG BatchNorm stats) instead of silently resetting it
+    state = state._replace(params=replicate(mesh, state.params),
+                           opt_state=replicate(mesh, state.opt_state),
+                           extra_vars=replicate(mesh, state.extra_vars))
     # per-process slice of the global batch -> global sharded arrays
     sl = process_shard(GLOBAL_BATCH)
     local = {k: (v[sl] if getattr(v, 'ndim', 0) > 0 else v)

@@ -82,12 +82,14 @@ def apply_generator(cfg: Config, params, batch: Dict[str, Any], rngs,
 
 
 def _disc_forward(cfg: Config, dparams, y, y_hat, specs_r, specs_g):
+    """y_hat/specs_g may be None: real branch only (R1 penalty path)."""
     msd = MultiScaleDiscriminator(cfg)
     mpd = MultiPeriodDiscriminator(cfg)
     mtd = MultiStftDiscriminator(cfg)
+    yh = None if y_hat is None else y_hat[..., None]
     with compute_dtype(cfg.vocoder.compute_dtype):
-        s = msd.apply({'params': dparams['msd']}, y[..., None], y_hat[..., None])
-        p = mpd.apply({'params': dparams['mpd']}, y[..., None], y_hat[..., None])
+        s = msd.apply({'params': dparams['msd']}, y[..., None], yh)
+        p = mpd.apply({'params': dparams['mpd']}, y[..., None], yh)
         t = mtd.apply({'params': dparams['mtd']}, specs_r, specs_g)
     # scores and feature maps feed f32 LSGAN/FM losses; XLA fuses the
     # upcasts into the consuming reductions
@@ -161,9 +163,12 @@ def gan_train_step(cfg: Config, state: GANState, batch: Dict[str, Any],
         r1 = jnp.asarray(0.0)
         if hv.r1_gamma > 0.0:
             def real_score(yy):
-                _, sp, _ = L.multi_stft_specs_and_loss(yy, yy, cfg)
+                # real branch only: one STFT per resolution, one pass per
+                # tower (the fake branch would be dead weight inside this
+                # double-backward, executed d_train_times per step)
+                sp = L.multi_stft_specs(yy, cfg)
                 (rs, _, _, _), (rp, _, _, _), (rt, _, _, _) = _disc_forward(
-                    cfg, dparams, yy, yy, sp, sp)
+                    cfg, dparams, yy, None, sp, None)
                 return sum(jnp.sum(x) for x in rs + rp + rt)
             gy = jax.grad(real_score)(y)
             r1 = jnp.sum(jnp.square(gy)) / y.shape[0]
