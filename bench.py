@@ -38,6 +38,10 @@ import numpy as np  # noqa: E402
 # bf16 MXU peak per chip (XLA's default matmul precision on TPU lowers f32
 # matmuls to bf16 passes); table keyed on jax device_kind substrings
 _PEAK_FLOPS = [('v5 lite', 197e12), ('v5e', 197e12), ('v5p', 459e12),
+               # plain 'v5' LAST among the v5s: v5p chips report
+               # device_kind 'TPU v5' (no p suffix), v5e reports 'TPU v5
+               # lite' and matches above first
+               ('v5', 459e12),
                ('v4', 275e12), ('v6', 918e12), ('v3', 123e12)]
 
 
@@ -180,9 +184,9 @@ def main():
                           jnp.zeros((1, t_frames * au.hop_length, 1)))['params']
     print(f'# init {time.time() - t_init:.1f}s', file=sys.stderr)
 
-    # fused pallas decoder on TPU (2 kernels/step, ~28x the flax scan);
-    # flax scan elsewhere
-    use_fused = jax.default_backend() == 'tpu'
+    # production decode-path selection shared with Synthesizer/__graft_entry__
+    from transtacos_retunegan_tpu.serve.pipeline import default_fused_decoder
+    use_fused = default_fused_decoder()
     if use_fused:
         from transtacos_retunegan_tpu.models.acoustic import posnet_apply
         from transtacos_retunegan_tpu.ops.fused_decoder import fused_decode

@@ -110,6 +110,53 @@ class TestAcousticFeeder:
         assert b1['text'].shape[0] == 2
         assert b2['mel_targets'].dtype == np.float32
 
+    def test_length_helpers_match_loaded(self, corpus):
+        """Header-read planning lengths == materialized example lengths."""
+        base, _ = corpus
+        ds = AcousticDataset(str(base / 'processed'), CFG, 'train')
+        for i in range(len(ds)):
+            fl, tl = ds.frame_len(i), ds.text_len(i)     # header/G2P only
+            ex = ds.load(i)
+            assert fl == ex[2].shape[0] and tl == len(ex[0])
+
+    def test_multihost_shards_agree(self, corpus):
+        """Two strided feeder shards produce batches whose shapes and
+        loss-length scalars MATCH (a multi-host hard requirement: divergent
+        pad shapes per rank would break global batch assembly in
+        parallel.shard_batch), and whose rows interleave back into exactly
+        the single-shard feeder's batch."""
+        base, _ = corpus
+        cfg = dataclasses.replace(
+            CFG, acoustic=dataclasses.replace(CFG.acoustic, batch_size=4))
+        data_dir = str(base / 'processed')
+
+        def grab(num_shards, shard_index, n=3):
+            ds = AcousticDataset(data_dir, cfg, 'train')
+            f = DataFeeder(ds, cfg, batches_per_group=2, queue_size=n,
+                           seed=7, num_shards=num_shards,
+                           shard_index=shard_index)
+            f.start()
+            out = [f.get_batch(timeout=60) for _ in range(n)]
+            f.stop()
+            return out
+
+        full = grab(1, 0)
+        r0 = grab(2, 0)
+        r1 = grab(2, 1)
+        for bf, b0, b1 in zip(full, r0, r1):
+            # identical global plan: equal pad shapes + loss-len scalars
+            assert b0['text'].shape == b1['text'].shape == (2,) + bf['text'].shape[1:]
+            assert (int(b0['frame_loss_len']) == int(b1['frame_loss_len'])
+                    == int(bf['frame_loss_len']))
+            assert (int(b0['text_loss_len']) == int(b1['text_loss_len'])
+                    == int(bf['text_loss_len']))
+            for k in bf:
+                v = np.asarray(bf[k])
+                if v.ndim == 0:
+                    continue
+                np.testing.assert_array_equal(v[0::2], b0[k])
+                np.testing.assert_array_equal(v[1::2], b1[k])
+
 
 class TestVocoderData:
     def test_scratch_mode_crop(self, corpus):
@@ -146,3 +193,19 @@ class TestVocoderData:
         batches = list(loader)
         assert len(batches) == len(ds) // 2
         assert batches[0]['mel'].shape[0] == 2
+
+    def test_loader_multihost_equal_batch_counts(self, corpus):
+        """Ranks must iterate the SAME number of batches even when the
+        dataset size is not a multiple of the process count — an extra
+        batch on one rank would issue a cross-host all-reduce the others
+        never join.  Also checks __len__ agrees with actual iteration."""
+        base, _ = corpus
+        ds = VocoderDataset('train', str(base / 'processed'), CFG, finetune=False)
+        assert len(ds) >= 3
+        loaders = [VocoderLoader(ds, batch_size=2, num_workers=1, shuffle=True,
+                                 seed=3, num_shards=2, shard_index=i)
+                   for i in range(2)]
+        b0, b1 = list(loaders[0]), list(loaders[1])
+        assert len(b0) == len(b1) == len(loaders[0]) == len(loaders[1])
+        for a, b in zip(b0, b1):
+            assert a['mel'].shape == b['mel'].shape == (1,) + a['mel'].shape[1:]

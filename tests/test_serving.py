@@ -124,12 +124,21 @@ class TestMeshDPServing:
         mesh = Mesh(np.array(jax.devices()[:4]), ('data',))
         return Synthesizer(synth.cfg, mesh=mesh)
 
-    def test_fused_decoder_with_mesh_raises(self, synth):
+    def test_mesh_keeps_fused_decoder_for_single_requests(self, synth):
+        """A DP mesh must not slow the single-request paths: the fused
+        pallas kernel stays selected there, and only the SHARDED batched
+        acoustic program falls back to the flax scan (the pallas custom
+        call cannot be partitioned by GSPMD)."""
         import jax
         from jax.sharding import Mesh
         mesh = Mesh(np.array(jax.devices()[:4]), ('data',))
-        with pytest.raises(ValueError, match='fused_decoder'):
-            Synthesizer(synth.cfg, mesh=mesh, fused_decoder=True)
+        s = Synthesizer(synth.cfg, mesh=mesh, fused_decoder=True)
+        assert s.fused_decoder                    # not clobbered by the mesh
+        assert s._select_fused(sharded=False)     # single-request: pallas
+        assert not s._select_fused(sharded=True)  # mesh-DP batched: flax
+        # without a mesh the batched path keeps the fused kernel too
+        s2 = Synthesizer(synth.cfg, fused_decoder=True)
+        assert s2._select_fused(sharded=True)
 
     def test_spec_batch_matches_unsharded(self, synth, dp_synth):
         """b=3 pads to the 4-way data axis; results match the plain path."""

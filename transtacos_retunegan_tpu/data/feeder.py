@@ -37,9 +37,39 @@ class AcousticDataset:
         with open(os.path.join(data_dir, f'{split}.txt'), encoding='utf-8') as fh:
             self.metadata = [ln.strip().split('|') for ln in fh if ln.strip()]
         self.cache: List[Optional[tuple]] = [None] * len(self.metadata)
+        self._frame_len: List[Optional[int]] = [None] * len(self.metadata)
+        self._text_len: List[Optional[int]] = [None] * len(self.metadata)
 
     def __len__(self):
         return len(self.metadata)
+
+    def frame_len(self, index: int) -> int:
+        """Spectrogram frame count WITHOUT materializing the example: reads
+        the mel .npy header via mmap.  Batch planning (sort + pad shapes)
+        needs lengths for every member of a group, but under multi-host
+        each process materializes only its strided slice -- lengths must be
+        knowable for all of them cheaply."""
+        if self._frame_len[index] is None:
+            if self.cache[index] is not None:
+                self._frame_len[index] = int(self.cache[index][2].shape[0])
+            else:
+                name = self.metadata[index][0]
+                m = np.load(os.path.join(self.data_dir, f'mel-{name}.npy'),
+                            mmap_mode='r')
+                self._frame_len[index] = int(m.shape[1])   # stored [M, T]
+        return self._frame_len[index]
+
+    def text_len(self, index: int) -> int:
+        """Serialized text length (host-side G2P only, no feature IO)."""
+        if self._text_len[index] is None:
+            if self.cache[index] is not None:
+                self._text_len[index] = int(len(self.cache[index][0]))
+            else:
+                name, prds_str, text = self.metadata[index]
+                seq, _ = frontend.serialize_train(
+                    text, [int(d) for d in prds_str], self.cfg.acoustic.g2p)
+                self._text_len[index] = int(len(seq))
+        return self._text_len[index]
 
     def load(self, index: int) -> tuple:
         """(seq [T,2], prds [T], mel [T,M], mag [T,F-1], f0q [T], c0q [T], stop [T])
@@ -63,20 +93,31 @@ class AcousticDataset:
         return self.cache[index]
 
 
-def prepare_batch(examples: List[tuple], cfg: Config,
-                  bucket: bool = True) -> Dict[str, np.ndarray]:
-    """Pad a list of examples into one batch (reference ``data.py:172-226``)."""
+def prepare_batch(examples: List[tuple], cfg: Config, bucket: bool = True,
+                  shuffle: bool = True,
+                  pad_to: Optional[tuple] = None) -> Dict[str, np.ndarray]:
+    """Pad a list of examples into one batch (reference ``data.py:172-226``).
+
+    ``pad_to=(n_ref, t_ref)`` overrides the reference padded lengths with
+    externally computed ones -- the multi-host feeder passes the GLOBAL
+    batch's maxima so every process pads its local rows to identical shapes
+    and loss-length scalars (``DataFeeder.run``).  ``shuffle=False`` skips
+    the within-batch shuffle when the caller already ordered the members."""
     hp = cfg.acoustic
     r = hp.outputs_per_step
-    random.shuffle(examples)
+    if shuffle:
+        random.shuffle(examples)
 
     text_lengths = np.asarray([len(e[0]) for e in examples], np.int32)
     spec_lengths = np.asarray([len(e[2]) for e in examples], np.int32)
 
     # reference padded lengths: text to batch max; frames to batch max + 1,
     # rounded up to a multiple of r
-    n_ref = int(text_lengths.max())
-    t_ref = _round_up(int(spec_lengths.max()) + 1, r)
+    if pad_to is not None:
+        n_ref, t_ref = pad_to
+    else:
+        n_ref = int(text_lengths.max())
+        t_ref = _round_up(int(spec_lengths.max()) + 1, r)
     # static-shape buckets on top (loss masks exclude the extra padding)
     n_pad = _round_up(n_ref, hp.text_bucket) if bucket else n_ref
     t_pad = _round_up(t_ref, hp.frame_bucket) if bucket else t_ref
@@ -115,50 +156,74 @@ class DataFeeder(threading.Thread):
 
     def __init__(self, dataset: AcousticDataset, cfg: Config,
                  batches_per_group: Optional[int] = None, queue_size: int = 8,
-                 seed: int = 114514):
+                 seed: int = 114514, num_shards: Optional[int] = None,
+                 shard_index: Optional[int] = None):
+        """``num_shards``/``shard_index`` override the jax process topology
+        (tests exercise the multi-host plan without a real process group)."""
         super().__init__(daemon=True)
         self.dataset = dataset
         self.cfg = cfg
         self.bs = cfg.acoustic.batch_size
         self._order = list(range(len(dataset)))
-        # multi-host: each process feeds ITS slice of the global batch (the
-        # per-process batch is global/num_processes and examples are strided
-        # disjointly), replacing the reference's single-host feeder thread.
-        # jax imported lazily: single-host data tests stay jax-free.
-        import jax
-        pc = jax.process_count()
+        # multi-host: EVERY process computes the identical global batch plan
+        # (same seed -> same order/sort/shuffles; lengths come from cheap
+        # npy-header reads, not feature loads) and then materializes only
+        # its strided slice of each global batch's members, padded to the
+        # GLOBAL batch's shapes.  Per-rank independent bucketing would give
+        # ranks different pad shapes / loss-length scalars on real
+        # variable-length corpora, breaking global batch assembly in
+        # ``parallel.shard_batch``.  jax imported lazily: single-host data
+        # tests stay jax-free.
+        if num_shards is not None:
+            pc = num_shards
+            self._pidx = shard_index or 0
+        else:
+            import jax
+            pc = jax.process_count()
+            self._pidx = jax.process_index() if pc > 1 else 0
+        self._pc = pc
         if pc > 1:
             assert self.bs % pc == 0, \
                 f'batch_size {self.bs} not divisible by {pc} processes'
-            self.bs //= pc
-            self._order = self._order[jax.process_index()::pc]
         self.batches_per_group = batches_per_group or self.bs
         self.q: 'queue.Queue[Dict[str, np.ndarray]]' = queue.Queue(queue_size)
         self.rng = random.Random(seed)
         self._offset = len(self._order)   # trigger shuffle on first use
         self._stop = threading.Event()
 
-    def _next_example(self):
+    def _next_index(self) -> int:
         if self._offset >= len(self._order):
             self._offset = 0
             self.rng.shuffle(self._order)
-        ex = self.dataset.load(self._order[self._offset])
+        i = self._order[self._offset]
         self._offset += 1
-        return ex
+        return i
 
     def run(self):
+        r = self.cfg.acoustic.outputs_per_step
         while not self._stop.is_set():
             n = self.bs
-            group = [self._next_example() for _ in range(n * self.batches_per_group)]
-            # bucket by output frame count (reference ``data.py:90-95``)
-            group.sort(key=lambda x: len(x[-1]))
+            group = [self._next_index() for _ in range(n * self.batches_per_group)]
+            # bucket by output frame count (reference ``data.py:90-95``);
+            # planning uses index lengths only, so the plan is identical on
+            # every process of a multi-host run
+            group.sort(key=self.dataset.frame_len)
             batches = [group[i:i + n] for i in range(0, len(group), n)]
             self.rng.shuffle(batches)
-            for batch in batches:
+            for idxs in batches:
                 if self._stop.is_set():
                     return
-                if len(batch) == n:
-                    self.q.put(prepare_batch(batch, self.cfg))
+                if len(idxs) != n:
+                    continue
+                self.rng.shuffle(idxs)     # within-batch order, shared plan
+                # GLOBAL pad shapes / loss lengths (reference formulas)
+                n_ref = max(self.dataset.text_len(i) for i in idxs)
+                t_ref = _round_up(
+                    max(self.dataset.frame_len(i) for i in idxs) + 1, r)
+                local = idxs[self._pidx::self._pc]
+                examples = [self.dataset.load(i) for i in local]
+                self.q.put(prepare_batch(examples, self.cfg, shuffle=False,
+                                         pad_to=(n_ref, t_ref)))
 
     def get_batch(self, timeout: float = 300.0) -> Dict[str, np.ndarray]:
         return self.q.get(timeout=timeout)

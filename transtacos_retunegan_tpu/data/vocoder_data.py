@@ -162,7 +162,11 @@ class VocoderLoader:
 
     def __init__(self, dataset: VocoderDataset, batch_size: int,
                  shuffle: bool = True, num_workers: int = 4,
-                 queue_size: int = 8, drop_last: bool = True, seed: int = 1):
+                 queue_size: int = 8, drop_last: bool = True, seed: int = 1,
+                 num_shards: Optional[int] = None,
+                 shard_index: Optional[int] = None):
+        """``num_shards``/``shard_index`` override the jax process topology
+        (tests exercise the multi-host striding without a process group)."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -173,9 +177,13 @@ class VocoderLoader:
         # multi-host: per-process local batch + disjoint example stride (the
         # global batch is assembled by parallel.shard_batch).  jax imported
         # lazily so single-host data tests stay jax-free.
-        import jax
-        self._pc = jax.process_count()
-        self._pidx = jax.process_index() if self._pc > 1 else 0
+        if num_shards is not None:
+            self._pc = num_shards
+            self._pidx = shard_index or 0
+        else:
+            import jax
+            self._pc = jax.process_count()
+            self._pidx = jax.process_index() if self._pc > 1 else 0
         if self._pc > 1:
             assert self.bs % self._pc == 0, \
                 f'batch_size {self.bs} not divisible by {self._pc} processes'
@@ -191,7 +199,12 @@ class VocoderLoader:
             self.rng.shuffle(order)
         if self._pc > 1:
             # same seed on every process -> same global order -> disjoint
-            # strided per-process slices
+            # strided per-process slices.  Truncate to a multiple of the
+            # process count FIRST: otherwise one rank gets an extra example
+            # and (with an unlucky batch boundary) an extra batch, and its
+            # extra gan_train_step would issue a cross-host all-reduce the
+            # other ranks never join -> deadlocked epoch.
+            order = order[:len(order) - len(order) % self._pc]
             order = order[self._pidx::self._pc]
         batches = [order[i:i + self.bs] for i in range(0, len(order), self.bs)]
         if self.drop_last:

@@ -41,6 +41,16 @@ def _round_up(x: int, m: int) -> int:
     return x if x % m == 0 else x + m - x % m
 
 
+def default_fused_decoder() -> bool:
+    """Production decode-path selection: the pallas fused decoder on TPU
+    (~28x the flax scan), the flax scan elsewhere (compiled pallas is
+    TPU-only and interpret mode is slower than the scan).  Shared by
+    ``Synthesizer``, ``bench.py`` and ``__graft_entry__`` so the driver's
+    compile check and the benchmark exercise the same path production
+    serving takes."""
+    return jax.default_backend() == 'tpu'
+
+
 class Synthesizer:
     """End-to-end TTS with jitted acoustic, Griffin-Lim and vocoder stages."""
 
@@ -56,12 +66,7 @@ class Synthesizer:
         self.cfg = cfg or Config()
         self.max_iters = max_iters or self.cfg.acoustic.max_iters
         if fused_decoder is None:
-            # pallas fused decoder is ~28x the flax scan on TPU; compiled
-            # pallas is unavailable off-TPU and interpret mode is slower
-            # than the flax path, so auto-select by backend.  Mesh-DP
-            # serving forces the flax path: the pallas kernel is a custom
-            # call GSPMD cannot partition over the batch axis.
-            fused_decoder = jax.default_backend() == 'tpu' and mesh is None
+            fused_decoder = default_fused_decoder()
         self.fused_decoder = fused_decoder
         # vocoder inference precision.  'auto' = bf16 on TPU (1.22x the
         # f32 forward; a bf16-trained-and-evaluated vocoder beats its GL
@@ -77,14 +82,13 @@ class Synthesizer:
         # vocode_batch / tts_batch) over chips via GSPMD -- params
         # replicated, batch dim split, XLA inserts the collectives.  The
         # fused pallas decoder is a custom call GSPMD cannot partition, so
-        # the acoustic stage shards only on the flax-scan path
-        # (fused_decoder=False); the vocoder conv stacks always shard.
+        # the SHARDED acoustic stage falls back to the flax scan; the
+        # single-request paths (tts_fused, vocode, GL) keep the fused
+        # kernel and stay unsharded -- a batch of 1 cannot split 8 ways,
+        # and disabling the kernel there would cost ~28x latency for zero
+        # parallelism.  Per-surface selection happens in _build_infer.
         self.mesh = mesh
         self._dp = int(mesh.shape['data']) if mesh is not None else 1
-        if mesh is not None and self.fused_decoder:
-            raise ValueError('mesh-DP serving requires fused_decoder=False: '
-                             'the pallas decode kernel is a custom call '
-                             'GSPMD cannot partition over the batch axis')
         self._rng = jax.random.PRNGKey(seed)
         self.kanji2pinyin = frontend.KanjiPinyin(kanji_table)
 
@@ -136,6 +140,13 @@ class Synthesizer:
                       for i in range(n_args))
         return jax.jit(fn, in_shardings=in_sh)
 
+    def _select_fused(self, sharded: bool) -> bool:
+        """Pallas fused decoder vs flax scan for an acoustic program: the
+        fused kernel is a custom call GSPMD cannot partition, so sharded
+        (mesh-DP batched) programs fall back to the flax scan; everything
+        else follows the constructor's ``fused_decoder`` choice."""
+        return self.fused_decoder and not (sharded and self.mesh is not None)
+
     def _pad_rows(self, b: int) -> int:
         """Batch rows to allocate so the compile-key space stays small
         (power of two) and, under mesh DP, every shard gets equal rows."""
@@ -157,10 +168,17 @@ class Synthesizer:
             'c0_targets': jnp.zeros((1, t), jnp.int32),
         }
 
-    def _build_infer(self, n_pad: int):
+    def _build_infer(self, n_pad: int, sharded: bool = False):
+        """Acoustic inference program for one text bucket.
+
+        ``sharded=True`` marks the batched-serving call sites: under mesh
+        DP those must take the flax-scan path (the pallas decode kernel is
+        a custom call GSPMD cannot partition over the batch axis) with the
+        batch dim sharded over 'data'.  Single-request call sites pass
+        ``sharded=False`` and keep the fused kernel regardless of mesh."""
         cfg, steps = self.cfg, self.max_iters
 
-        if self.fused_decoder:
+        if self._select_fused(sharded):
             # encoder (flax) -> pallas fused decode scan -> standalone posnet:
             # 2 kernels per decode step instead of ~30 (see ops/fused_decoder)
             from ..models.acoustic import posnet_apply
@@ -185,7 +203,7 @@ class Synthesizer:
             model = Tacotron(cfg)
             return model.apply({'params': params}, text, text_lengths,
                                train=False, max_iters=steps)
-        return self._jit_sharded(fn, {1, 2}, 3)
+        return self._jit_sharded(fn, {1, 2}, 3) if sharded else jax.jit(fn)
 
     def _build_gl(self, n_frames: int):
         cfg = self.cfg
@@ -437,18 +455,21 @@ class Synthesizer:
         n_max = max(s.shape[0] for s in seqs)
         n_pad = _round_up(max(n_max, 1), self.cfg.acoustic.text_bucket)
         b = len(seqs)
-        # under mesh DP, rows must divide evenly over the data axis; fill
-        # rows repeat request 0 and are dropped below
-        b_pad = _round_up(b, self._dp)
+        # batch size is part of the compile key: pad rows to a power of two
+        # (and, under mesh DP, a multiple of the data axis) so the decode --
+        # the most expensive compile in the server -- traces once per
+        # bucket, not once per request count.  Fill rows repeat request 0
+        # and are dropped below.
+        b_pad = self._pad_rows(b)
         text = np.zeros((b_pad, n_pad, 2), np.int32)
         lens = np.zeros((b_pad,), np.int32)
         for i in range(b_pad):
             s = seqs[i if i < b else 0]
             text[i, :s.shape[0]] = s
             lens[i] = s.shape[0]
-        # batch size is part of the compile key; cache per (n_pad, b)
-        out = self._infer_fn(n_pad)(self.acoustic_params, jnp.asarray(text),
-                                    jnp.asarray(lens))
+        out = self._infer_fn(n_pad, True)(self.acoustic_params,
+                                          jnp.asarray(text),
+                                          jnp.asarray(lens))
         mags = np.asarray(out['mag_outputs'])
         lengths = np.asarray(out['out_lengths'])
         specs = []

@@ -90,16 +90,16 @@ def eval_teacher_forced(cfg: Config, data_dir: str, ac_run: str) -> dict:
     """Held-out teacher-forced losses through the trained checkpoint."""
     import jax
 
-    from ..data.feeder import AcousticDataset, DataFeeder
+    from ..data.feeder import AcousticDataset, prepare_batch
     from ..models.acoustic import Tacotron
     from ..train import checkpoint as ckpt
     from ..train.acoustic_step import compute_losses, init_state
 
+    # one batch holding the ENTIRE test split, each item exactly once.  (A
+    # DataFeeder at cfg batch_size would wrap a split smaller than the batch
+    # and silently average duplicated items.)
     dataset = AcousticDataset(data_dir, cfg, 'test')
-    feeder = DataFeeder(dataset, cfg)
-    feeder.start()
-    batch = feeder.get_batch()
-    feeder.stop()
+    batch = prepare_batch([dataset.load(i) for i in range(len(dataset))], cfg)
     state = init_state(cfg, jax.random.PRNGKey(0), batch)
     restored = ckpt.restore_acoustic(ac_run, state)
     assert restored is not None, f'no acoustic checkpoint under {ac_run}'

@@ -73,6 +73,14 @@ def train(args) -> None:
     # whitelisted kernels; GSPMD inserts the collectives (SURVEY §2.4/§7.7)
     mesh = None
     num_devices = getattr(args, 'num_devices', 0)
+    if jax.process_count() > 1 and not (num_devices and num_devices > 1):
+        # --coordinator alone would make the feeder slice the batch per
+        # process while mesh=None inserts NO gradient all-reduce: N hosts
+        # would silently train independent diverging models.  Fail loudly.
+        raise SystemExit('multi-host run (process_count='
+                         f'{jax.process_count()}) requires --num_devices '
+                         '(global device count) > 1 so the mesh synchronizes '
+                         'gradients across hosts')
     if num_devices and num_devices > 1:
         from ..parallel import (make_mesh, replicate, shard_batch,
                                 shard_params_tp)

@@ -80,6 +80,14 @@ def train(args) -> None:
     # generator); params/opt replicate, XLA inserts the gradient all-reduce
     mesh = None
     num_devices = getattr(args, 'num_devices', 0)
+    if jax.process_count() > 1 and not (num_devices and num_devices > 1):
+        # --coordinator alone would make the loader slice the batch per
+        # process while mesh=None inserts NO gradient all-reduce: N hosts
+        # would silently train independent diverging models.  Fail loudly.
+        raise SystemExit('multi-host run (process_count='
+                         f'{jax.process_count()}) requires --num_devices '
+                         '(global device count) > 1 so the mesh synchronizes '
+                         'gradients across hosts')
     if num_devices and num_devices > 1:
         from ..parallel import make_mesh, replicate, shard_batch
         mesh = make_mesh(num_devices,
