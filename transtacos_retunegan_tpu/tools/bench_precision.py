@@ -41,18 +41,28 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def _min_of_trials(run_trial, trials: int, tag: str) -> float:
-    """Steady-state = MIN over consecutive pipelined trials.
+def _min_of_trials(run_trial, trials: int, tag: str,
+                   max_trials: int = 10, rel_tol: float = 0.05) -> float:
+    """Steady-state = MIN over consecutive pipelined trials, extended
+    until the sequence CONVERGES.
 
     Per-executable warmup on this tunneled backend is NOT a fixed call
     count: a freshly-(cache-)loaded program runs 5-7x slow for a window
     that has been observed to outlast 45 warmup calls in one process while
-    ending after 31 in another.  Min-of-trials is robust to both the
-    warmup tail and transient host/tunnel contention; the per-trial
+    ending after 31 in another.  ``trials`` is therefore a minimum: if the
+    last trial is still the running min (or within ``rel_tol`` of it while
+    an earlier trial was far above -- i.e. the sequence was still
+    descending), extra trials run up to ``max_trials``.  The per-trial
     sequence is printed to stderr so a measurement that never converged is
     visible rather than silently wrong.
     """
     times = [run_trial() for _ in range(trials)]
+    # keep going while the minimum is still being set by the LAST trial --
+    # a descending tail means the warmup window hasn't closed yet
+    while len(times) < max_trials and (
+            min(times) == times[-1]
+            or min(times[:-1]) > min(times) * (1 + rel_tol)):
+        times.append(run_trial())
     print(f'# {tag} trials ms: ' + ' '.join(f'{t * 1000:.2f}' for t in times),
           file=sys.stderr)
     return min(times)
