@@ -86,6 +86,28 @@ class TestAcousticCLI:
         train_acoustic.train(args)
 
 
+class TestMultiHostGate:
+    def test_process_group_without_mesh_fails_loudly(self, corpus, tmp_path,
+                                                     monkeypatch):
+        """process_count > 1 with no --num_devices must abort: the feeder
+        would slice the batch per process while mesh=None inserts no
+        gradient all-reduce -- N hosts silently training diverging
+        models."""
+        import jax
+        from transtacos_retunegan_tpu.train import train_acoustic
+        monkeypatch.setattr(jax, 'process_count', lambda: 2)
+        monkeypatch.setattr(jax, 'process_index', lambda: 0)
+        cfg = tiny_cfg()
+        cfg_path = cfg.save(str(tmp_path / 'cfgdir'))
+        args = types.SimpleNamespace(
+            data_dir=corpus, log_path=str(tmp_path / 'run'), config=cfg_path,
+            max_steps=1, log_interval=1, summary_interval=10,
+            checkpoint_interval=1, debug_nans=False, profile_dir=None,
+            profile_start=0, profile_steps=0)
+        with pytest.raises(SystemExit, match='num_devices'):
+            train_acoustic.train(args)
+
+
 class TestVbankSplit:
     def test_acoustic_trains_on_vbank_index(self, corpus, tmp_path):
         """--train_split consumes a voice-bank index produced by
