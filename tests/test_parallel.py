@@ -266,6 +266,76 @@ class TestRealMultiProcess:
         # ... and it matches the single-process step on the same batch
         assert losses[0] == pytest.approx(ref, rel=2e-3)
 
+    def test_two_process_feeder_matches_single_process(self, tmp_path):
+        """REAL 2-process group driving the production DataFeeder: every
+        rank computes the same global batch plan and materializes its
+        strided slice; the assembled global batch must give the identical
+        loss a single-process feeder run gives (the loss is a masked batch
+        mean, invariant to the process-major row order of assembly)."""
+        import subprocess
+        import sys
+
+        from transtacos_retunegan_tpu.audio import features as F
+        from transtacos_retunegan_tpu.data import preprocess as P
+        from transtacos_retunegan_tpu.tools import multihost_smoke
+
+        # tiny corpus with VARIABLE lengths (the case per-rank independent
+        # bucketing used to get wrong)
+        base = tmp_path / 'corpus'
+        (base / 'wavs').mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        pys = ['ni3 hao3 shi4 jie4', 'zhong1 guo2 ren2', 'wo3 men5 de5 jia1',
+               'tian1 qi4 zhen1 hao3', 'xie4 xie4 da4 jia1', 'chi1 fan4 le5']
+        rows = []
+        for i, py in enumerate(pys):
+            dur = 22050 // 2 + i * 1800
+            t = np.arange(dur) / 22050
+            y = (0.4 * np.sin(2 * np.pi * (150 + 20 * i) * t)
+                 + 0.01 * rng.randn(dur)).astype(np.float32)
+            F.save_wav(y, str(base / 'wavs' / f'u{i}.wav'),
+                       multihost_smoke.demo_config().audio)
+            rows.append(f'u{i}|{py}|{"0" * (len(py.split()) - 1)}4')
+        (base / 'metadata.csv').write_text('\n'.join(rows), encoding='utf-8')
+        P.preprocess_generic(str(base), 'processed', str(base / 'metadata.csv'),
+                             wav_dir='wavs', num_workers=1)
+        data_dir = str(base / 'processed')
+
+        # single-process reference leg, in-process (feeder pc=1)
+        ref = multihost_smoke.run(['--data_dir', data_dir])
+
+        env = {k: v for k, v in os.environ.items()
+               if k not in ('XLA_FLAGS', 'JAX_PLATFORMS',
+                            'PALLAS_AXON_POOL_IPS')}
+        env['JAX_PLATFORMS'] = 'cpu'
+        port = 29000 + (os.getpid() + 7) % 1000
+        procs = [subprocess.Popen(
+            [sys.executable, '-m',
+             'transtacos_retunegan_tpu.tools.multihost_smoke', '--cpu',
+             '--coordinator', f'127.0.0.1:{port}',
+             '--num_processes', '2', '--process_id', str(i),
+             '--data_dir', data_dir],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for i in range(2)]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                outs.append(out)
+                assert p.returncode == 0, out[-3000:]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        losses = []
+        for out in outs:
+            lines = [ln for ln in out.splitlines() if 'RESULT' in ln]
+            assert lines, out[-3000:]
+            losses.append(float(lines[-1].split()[-1]))
+        assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+        assert losses[0] == pytest.approx(ref, rel=2e-3)
+
 
 @pytest.mark.smoke
 class TestMultiHostReadiness:

@@ -81,6 +81,16 @@ def run(argv=None) -> float:
                          '(single-machine multi-process validation)')
     ap.add_argument('--local_devices', type=int, default=2,
                     help='virtual CPU devices per process (with --cpu)')
+    ap.add_argument('--data_dir', default=None,
+                    help='preprocessed corpus dir: drive the REAL DataFeeder '
+                         'under the process group (every rank computes the '
+                         'same global batch plan and materializes its '
+                         'strided slice) instead of the synthetic fixed '
+                         'batch.  The printed loss must match a '
+                         'single-process run on the same corpus/seed: the '
+                         'loss is a masked batch mean, invariant to the '
+                         'process-major row order of the assembled global '
+                         'array.')
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -107,21 +117,34 @@ def run(argv=None) -> float:
           f'local_devices={jax.local_device_count()}', flush=True)
 
     cfg = demo_config()
-    batch = make_demo_batch(cfg)
-    # identical-seed init on every process -> identical params; replicate()
-    # then places them with a replicated sharding over the global mesh
+    if args.data_dir:
+        # production input path: the feeder computes the GLOBAL batch plan
+        # on every rank and yields this rank's strided rows, padded to the
+        # global batch's shapes (data/feeder.py)
+        from transtacos_retunegan_tpu.data.feeder import (AcousticDataset,
+                                                          DataFeeder)
+        ds = AcousticDataset(args.data_dir, cfg, 'train')
+        feeder = DataFeeder(ds, cfg, batches_per_group=2, seed=_SEED)
+        feeder.start()
+        local = feeder.get_batch(timeout=180)
+        feeder.stop()
+    else:
+        batch = make_demo_batch(cfg)
+        # per-process slice of the fixed global batch
+        sl = process_shard(GLOBAL_BATCH)
+        local = {k: (v[sl] if getattr(v, 'ndim', 0) > 0 else v)
+                 for k, v in batch.items()}
+    # identical-seed init on every process -> identical params (init does
+    # not depend on batch content or local row count); replicate() then
+    # places them with a replicated sharding over the global mesh
     state = init_state(cfg, jax.random.PRNGKey(0),
-                       jax.tree.map(jnp.asarray, batch))
+                       jax.tree.map(jnp.asarray, local))
     mesh = make_mesh()          # multi-process -> hybrid DCN x ICI layout
     # _replace keeps every other TrainState field (e.g. extra_vars carrying
     # CBHG BatchNorm stats) instead of silently resetting it
     state = state._replace(params=replicate(mesh, state.params),
                            opt_state=replicate(mesh, state.opt_state),
                            extra_vars=replicate(mesh, state.extra_vars))
-    # per-process slice of the global batch -> global sharded arrays
-    sl = process_shard(GLOBAL_BATCH)
-    local = {k: (v[sl] if getattr(v, 'ndim', 0) > 0 else v)
-             for k, v in batch.items()}
     sharded = shard_batch(mesh, local)
     state, loss = train_step(cfg, state, sharded, jax.random.PRNGKey(42))
     val = float(loss['loss'])
