@@ -266,6 +266,50 @@ class TestRealMultiProcess:
         # ... and it matches the single-process step on the same batch
         assert losses[0] == pytest.approx(ref, rel=2e-3)
 
+    def test_two_process_gan_step_matches_single_process(self):
+        """REAL 2-process group running the vocoder GAN train step (Dx2+G,
+        pure DP): both ranks' replicated generator loss equals a
+        single-process run on the same global batch."""
+        import subprocess
+        import sys
+
+        from transtacos_retunegan_tpu.tools import multihost_smoke
+
+        ref = multihost_smoke.run(['--model', 'gan'])
+
+        env = {k: v for k, v in os.environ.items()
+               if k not in ('XLA_FLAGS', 'JAX_PLATFORMS',
+                            'PALLAS_AXON_POOL_IPS')}
+        env['JAX_PLATFORMS'] = 'cpu'
+        port = 29000 + (os.getpid() + 13) % 1000
+        procs = [subprocess.Popen(
+            [sys.executable, '-m',
+             'transtacos_retunegan_tpu.tools.multihost_smoke', '--cpu',
+             '--coordinator', f'127.0.0.1:{port}',
+             '--num_processes', '2', '--process_id', str(i),
+             '--model', 'gan'],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for i in range(2)]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                outs.append(out)
+                assert p.returncode == 0, out[-3000:]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        losses = []
+        for out in outs:
+            lines = [ln for ln in out.splitlines() if 'RESULT' in ln]
+            assert lines, out[-3000:]
+            losses.append(float(lines[-1].split()[-1]))
+        assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+        assert losses[0] == pytest.approx(ref, rel=2e-3)
+
     def test_two_process_feeder_matches_single_process(self, tmp_path):
         """REAL 2-process group driving the production DataFeeder: every
         rank computes the same global batch plan and materializes its

@@ -35,7 +35,8 @@ _SEED = 1234
 
 
 def demo_config():
-    """Tiny acoustic config (shared with tests so reference runs match)."""
+    """Tiny acoustic + vocoder config (shared with tests so reference runs
+    match)."""
     from transtacos_retunegan_tpu.config import Config
     return dataclasses.replace(
         Config(),
@@ -43,7 +44,23 @@ def demo_config():
             Config().acoustic, embed_depth=32, encoder_depth=32,
             decoder_depth=64, attention_depth=16, prenet_depths=(32,),
             posnet_depth=64, var_embed_depth=16, var_prednet_depth=16,
-            prdsnet_depth=16, posenc_depth=8, batch_size=GLOBAL_BATCH))
+            prdsnet_depth=16, posenc_depth=8, batch_size=GLOBAL_BATCH),
+        vocoder=dataclasses.replace(
+            Config().vocoder, upsample_initial_channel=32,
+            multi_stft_params=((512, 256, 60),), msd_layers=1,
+            mpd_periods=(3,), disc_width_mult=0.125,
+            batch_size=GLOBAL_BATCH))
+
+
+def make_demo_gan_batch(b=GLOBAL_BATCH, seg=512):
+    """Deterministic global GAN batch (mel + GL template + target wav)."""
+    import numpy as np
+    rng = np.random.RandomState(_SEED)
+    return {
+        'mel': rng.randn(b, seg // 256, 80).astype(np.float32),
+        'tmpl': (rng.randn(b, seg) * 0.1).astype(np.float32),
+        'wav': (rng.randn(b, seg) * 0.1).astype(np.float32),
+    }
 
 
 def make_demo_batch(cfg, b=GLOBAL_BATCH, n=12, t=20):
@@ -91,6 +108,11 @@ def run(argv=None) -> float:
                          'loss is a masked batch mean, invariant to the '
                          'process-major row order of the assembled global '
                          'array.')
+    ap.add_argument('--model', choices=['acoustic', 'gan'],
+                    default='acoustic',
+                    help='which sharded train step to run: the acoustic '
+                         'step (DP + optional TP) or the vocoder GAN step '
+                         '(Dx2+G, pure DP)')
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -117,6 +139,33 @@ def run(argv=None) -> float:
           f'local_devices={jax.local_device_count()}', flush=True)
 
     cfg = demo_config()
+    if args.model == 'gan':
+        # vocoder GAN step under the real process group: identical-seed
+        # init, all GANState fields replicated, batch rows assembled from
+        # per-process slices.  Loss reductions are element means, so the
+        # replicated loss is invariant to assembly row order and must match
+        # a single-process run bit-for-bit up to reduction order.
+        from transtacos_retunegan_tpu.train.vocoder_step import (
+            gan_train_step, init_gan_state)
+        batch = make_demo_gan_batch()
+        sl = process_shard(GLOBAL_BATCH)
+        local = {k: v[sl] for k, v in batch.items()}
+        gstate = init_gan_state(cfg, jax.random.PRNGKey(0),
+                                jax.tree.map(jnp.asarray, local),
+                                steps_per_epoch=10)
+        mesh = make_mesh()
+        gstate = type(gstate)(gstate.step,
+                              replicate(mesh, gstate.gen_params),
+                              replicate(mesh, gstate.gen_opt),
+                              replicate(mesh, gstate.disc_params),
+                              replicate(mesh, gstate.disc_opt))
+        sharded = shard_batch(mesh, local)
+        gstate, gm = gan_train_step(cfg, gstate, sharded,
+                                    jax.random.PRNGKey(42), 10)
+        val = float(gm['loss_gen_all'])
+        print(f'[p{pid}] RESULT {val:.6f}', flush=True)
+        return val
+
     if args.data_dir:
         # production input path: the feeder computes the GLOBAL batch plan
         # on every rank and yields this rank's strided rows, padded to the
