@@ -110,6 +110,21 @@ class TestAcousticFeeder:
         assert b1['text'].shape[0] == 2
         assert b2['mel_targets'].dtype == np.float32
 
+    def test_feeder_propagates_thread_errors(self, corpus):
+        """A failing feeder thread must surface its exception through
+        get_batch instead of dying silently and timing out opaquely
+        (reference parity: transtacos/data.py:65-71)."""
+        base, _ = corpus
+        cfg = dataclasses.replace(
+            CFG, acoustic=dataclasses.replace(CFG.acoustic, batch_size=2))
+        ds = AcousticDataset(str(base / 'processed'), cfg, 'train')
+        ds.load = lambda i: (_ for _ in ()).throw(OSError('disk gone'))
+        feeder = DataFeeder(ds, cfg, batches_per_group=2, queue_size=2)
+        feeder.start()
+        with pytest.raises(RuntimeError, match='DataFeeder thread failed'):
+            feeder.get_batch(timeout=30)
+        feeder.stop()
+
     def test_length_helpers_match_loaded(self, corpus):
         """Header-read planning lengths == materialized example lengths."""
         base, _ = corpus
@@ -193,6 +208,24 @@ class TestVocoderData:
         batches = list(loader)
         assert len(batches) == len(ds) // 2
         assert batches[0]['mel'].shape[0] == 2
+
+    def test_loader_propagates_worker_errors(self, corpus):
+        """A failing loader worker must surface its exception instead of
+        leaving its batch index forever missing (iteration would spin)."""
+        base, _ = corpus
+        ds = VocoderDataset('train', str(base / 'processed'), CFG,
+                            finetune=False)
+
+        class Broken:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                raise OSError('disk gone')
+
+        loader = VocoderLoader(Broken(), batch_size=2, num_workers=2)
+        with pytest.raises(RuntimeError, match='VocoderLoader worker failed'):
+            list(loader)
 
     def test_loader_multihost_equal_batch_counts(self, corpus):
         """Ranks must iterate the SAME number of batches even when the

@@ -15,6 +15,7 @@ import os
 import queue
 import random
 import threading
+import time as _time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -190,6 +191,7 @@ class DataFeeder(threading.Thread):
         self.rng = random.Random(seed)
         self._offset = len(self._order)   # trigger shuffle on first use
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
 
     def _next_index(self) -> int:
         if self._offset >= len(self._order):
@@ -200,6 +202,15 @@ class DataFeeder(threading.Thread):
         return i
 
     def run(self):
+        # propagate feeder-thread failures to the training loop instead of
+        # dying silently and letting get_batch() time out opaquely
+        # (reference parity: transtacos/data.py:65-71)
+        try:
+            self._run()
+        except BaseException as e:
+            self._error = e
+
+    def _run(self):
         r = self.cfg.acoustic.outputs_per_step
         while not self._stop.is_set():
             n = self.bs
@@ -226,7 +237,16 @@ class DataFeeder(threading.Thread):
                                          pad_to=(n_ref, t_ref)))
 
     def get_batch(self, timeout: float = 300.0) -> Dict[str, np.ndarray]:
-        return self.q.get(timeout=timeout)
+        deadline = _time.monotonic() + timeout
+        while True:
+            if self._error is not None:
+                raise RuntimeError('DataFeeder thread failed') from self._error
+            try:
+                return self.q.get(timeout=min(1.0, max(
+                    0.01, deadline - _time.monotonic())))
+            except queue.Empty:
+                if _time.monotonic() >= deadline:
+                    raise
 
     def stop(self):
         self._stop.set()

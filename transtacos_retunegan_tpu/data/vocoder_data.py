@@ -217,14 +217,22 @@ class VocoderLoader:
         results = {}
         lock = threading.Lock()
 
+        errors = []
+
         def worker():
             while True:
                 try:
                     i, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                items = [self.ds[j] for j in idxs]
-                batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+                try:
+                    items = [self.ds[j] for j in idxs]
+                    batch = {k: np.stack([it[k] for it in items])
+                             for k in items[0]}
+                except BaseException as e:        # propagate, don't hang
+                    with lock:
+                        errors.append(e)
+                    return
                 with lock:
                     results[i] = batch
 
@@ -235,10 +243,14 @@ class VocoderLoader:
         served = 0
         while served < len(batches):
             with lock:
-                if served in results:
-                    batch = results.pop(served)
-                else:
-                    batch = None
+                if errors:
+                    # a dead worker would leave its batch index forever
+                    # missing and spin this loop -- surface the cause
+                    # (reference parity: transtacos/data.py:65-71 stops
+                    # training on feeder exceptions)
+                    raise RuntimeError(
+                        'VocoderLoader worker failed') from errors[0]
+                batch = results.pop(served, None)
             if batch is None:
                 threading.Event().wait(0.005)
                 continue
