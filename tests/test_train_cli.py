@@ -108,6 +108,30 @@ class TestMultiHostGate:
             train_acoustic.train(args)
 
 
+class TestRssGuard:
+    def test_guard_checkpoints_and_resume_completes(self, corpus, tmp_path):
+        """--rss_limit_gb: over-limit -> checkpoint + SystemExit(75); a
+        resume without the limit finishes the run (the mitigation for the
+        remote tunnel's per-transfer host-memory leak, PERF_NOTES.md)."""
+        from transtacos_retunegan_tpu.train import train_acoustic
+        cfg = tiny_cfg()
+        cfg_path = cfg.save(str(tmp_path / 'cfgdir'))
+        base = dict(
+            data_dir=corpus, log_path=str(tmp_path / 'run'), config=cfg_path,
+            max_steps=4, log_interval=1, summary_interval=100,
+            checkpoint_interval=2, debug_nans=False, profile_dir=None,
+            profile_start=0, profile_steps=0)
+        with pytest.raises(SystemExit) as ei:
+            train_acoustic.train(types.SimpleNamespace(
+                **base, rss_limit_gb=0.05))   # any real process exceeds this
+        assert ei.value.code == 75
+        assert any(f.startswith('ckpt_')
+                   for f in os.listdir(tmp_path / 'run'))
+        train_acoustic.train(types.SimpleNamespace(**base, rss_limit_gb=0))
+        log = (tmp_path / 'run' / 'train.log').read_text()
+        assert 'training complete at step 4' in log
+
+
 class TestVbankSplit:
     def test_acoustic_trains_on_vbank_index(self, corpus, tmp_path):
         """--train_split consumes a voice-bank index produced by

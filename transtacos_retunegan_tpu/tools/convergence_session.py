@@ -39,21 +39,36 @@ from ..config import Config
 from .synth_corpus import build_corpus
 
 
-def run_cli(module: str, cli_args: list, timeout: int = 14400) -> str:
+def run_cli(module: str, cli_args: list, timeout: int = 14400,
+            max_attempts: int = 12) -> str:
+    """Run a train CLI, transparently resuming across rss-guard exits.
+
+    The axon tunnel client leaks host RAM per host->device batch transfer
+    (docs/PERF_NOTES.md), so long runs pass ``--rss_limit_gb``: the CLI
+    checkpoints and exits 75 when host memory runs high, and this wrapper
+    re-invokes it (resume-from-latest) until it completes.  Outputs of all
+    attempts concatenate, so the stdout loss series stays parseable."""
     env = dict(os.environ)
     # persistent XLA executable cache: compiles through this environment's
     # remote tunnel are minutes each, so cache across runs (same as bench.py)
     cache = os.path.join(os.getcwd(), '.jax_cache')
     env.setdefault('JAX_COMPILATION_CACHE_DIR', cache)
     env.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
-    r = subprocess.run([sys.executable, '-m', module] + cli_args,
-                       capture_output=True, text=True, timeout=timeout,
-                       env=env)
-    if r.returncode != 0:
+    out_all = ''
+    for _ in range(max_attempts):
+        r = subprocess.run([sys.executable, '-m', module] + cli_args,
+                           capture_output=True, text=True, timeout=timeout,
+                           env=env)
+        out_all += r.stdout
+        if r.returncode == 0:
+            return out_all
+        if r.returncode == 75:        # rss-guard handoff: resume
+            print('# rss guard tripped; resuming from checkpoint', flush=True)
+            continue
         print(r.stdout[-3000:])
         print(r.stderr[-3000:])
         raise SystemExit(f'{module} failed: exit {r.returncode}')
-    return r.stdout
+    raise SystemExit(f'{module}: exceeded {max_attempts} rss-guard resumes')
 
 
 def parse_series(text: str, pattern: str):
@@ -265,7 +280,10 @@ def main():
              '--config', cfg_path,
              '--max_steps', str(args.acoustic_steps),
              '--log_interval', str(max(1, min(20, args.acoustic_steps // 10))),
-             '--checkpoint_interval', str(args.acoustic_steps)])
+             # checkpoint periodically (not only at the end): the rss-guard
+             # resume path needs something to resume FROM
+             '--checkpoint_interval', str(min(args.acoustic_steps, 2000)),
+             '--rss_limit_gb', '95'])
     steps = [int(x) for x in re.findall(r'step (\d+) \[', out)]
     loss = parse_series(out, r'loss (\d+\.\d+),')
     mel = parse_series(out, r'mel (\d+\.\d+)')
@@ -294,9 +312,10 @@ def main():
              '--config', cfg_path,
              '--finetune', '--epochs', str(epochs),
              '--stdout_interval', str(max(1, min(10, args.gan_steps // 10))),
-             '--checkpoint_interval', str(args.gan_steps),
+             '--checkpoint_interval', str(min(args.gan_steps, 2000)),
              '--validation_interval', str(args.gan_steps),
-             '--summary_interval', str(args.gan_steps)])
+             '--summary_interval', str(args.gan_steps),
+             '--rss_limit_gb', '95'])
     gsteps = [int(x) for x in re.findall(r'\[(\d+) \(', out)]
     mstft = parse_series(out, r'mstft: (\d+\.\d+)')
     gen_all = parse_series(out, r'total gen: (\d+\.\d+)')

@@ -24,7 +24,7 @@ import numpy as np
 from ..audio import transforms as T
 from ..config import Config
 from ..data.feeder import AcousticDataset, DataFeeder
-from ..utils.logging import ValueWindow, get_logger
+from ..utils.logging import ValueWindow, get_logger, host_rss_gb
 from ..utils.plotting import plot_alignment, plot_specs
 from . import checkpoint as ckpt
 from .acoustic_step import TrainState, init_state, train_step
@@ -152,6 +152,19 @@ def train(args) -> None:
                              f'{args.log_interval} steps (step {step}), aborting')
                 feeder.stop()
                 raise SystemExit(1)
+            # host-memory guard: remote backends can leak host RAM per
+            # host->device transfer (the axon tunnel retains every batch
+            # transfer, docs/PERF_NOTES.md); checkpoint and hand off to an
+            # external resume loop before the OOM killer strikes
+            rss_limit = getattr(args, 'rss_limit_gb', 0)
+            if rss_limit and host_rss_gb() > rss_limit:
+                path = ckpt.save_acoustic(args.log_path, state)
+                logger.warning(
+                    f'host RSS {host_rss_gb():.1f} GiB over --rss_limit_gb '
+                    f'{rss_limit}; checkpointed to {path}, exiting 75 for '
+                    f'resume')
+                feeder.stop()
+                raise SystemExit(75)
 
         if sw is not None and step % args.summary_interval == 0:
             for k, v in losses.items():
@@ -243,6 +256,14 @@ def main():
                         'jax.distributed.initialize (single-host if unset)')
     p.add_argument('--num_processes', type=int, default=None)
     p.add_argument('--process_id', type=int, default=None)
+    p.add_argument('--rss_limit_gb', type=float, default=0,
+                   help='checkpoint and exit 75 when host RSS exceeds this '
+                        '(resume-from-latest continues the run).  Mitigates '
+                        'remote-backend transfer leaks: the axon tunnel '
+                        'client in this image retains every host->device '
+                        'batch transfer (~batch bytes per step, '
+                        'docs/PERF_NOTES.md), so unbounded runs OOM the '
+                        'host.  0 = off.')
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--profile_dir', default=None)
     p.add_argument('--profile_start', type=int, default=20)

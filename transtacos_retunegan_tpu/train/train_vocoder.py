@@ -24,7 +24,7 @@ import numpy as np
 from ..audio import transforms as T
 from ..config import Config
 from ..data.vocoder_data import VocoderDataset, VocoderLoader
-from ..utils.logging import get_logger
+from ..utils.logging import get_logger, host_rss_gb
 from ..utils.plotting import spectrogram_figure
 from . import checkpoint as ckpt
 from .vocoder_step import (gan_eval_step, gan_train_step, init_gan_state)
@@ -149,6 +149,15 @@ def train(args) -> None:
                     logger.error(f'loss exploded to {gmax} within the last '
                                  f'{args.stdout_interval} steps, aborting')
                     raise SystemExit(1)
+                # host-memory guard (see train_acoustic.py / PERF_NOTES.md)
+                rss_limit = getattr(args, 'rss_limit_gb', 0)
+                if rss_limit and host_rss_gb() > rss_limit:
+                    paths = ckpt.save_gan(args.log_path, state, epoch)
+                    logger.warning(
+                        f'host RSS {host_rss_gb():.1f} GiB over '
+                        f'--rss_limit_gb {rss_limit}; checkpointed '
+                        f'{paths}, exiting 75 for resume')
+                    raise SystemExit(75)
 
             if sw is not None and step % args.summary_interval == 0:
                 for k, v in m.items():
@@ -236,6 +245,10 @@ def main():
                         'jax.distributed.initialize (single-host if unset)')
     p.add_argument('--num_processes', type=int, default=None)
     p.add_argument('--process_id', type=int, default=None)
+    p.add_argument('--rss_limit_gb', type=float, default=0,
+                   help='checkpoint and exit 75 when host RSS exceeds this '
+                        '(resume continues the run; mitigates remote-backend '
+                        'transfer leaks, docs/PERF_NOTES.md).  0 = off.')
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--compute_dtype', default=None,
                    choices=['float32', 'bfloat16'],

@@ -78,6 +78,20 @@ class ValueWindow:
         self._values = []
 
 
+def host_rss_gb() -> float:
+    """Current resident set size of this process in GiB (Linux VmRSS;
+    falls back to the ru_maxrss high-water mark elsewhere)."""
+    try:
+        with open('/proc/self/status') as fh:
+            for line in fh:
+                if line.startswith('VmRSS:'):
+                    return int(line.split()[1]) / (1024 ** 2)
+    except OSError:
+        pass
+    import resource
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1024 ** 2)
+
+
 def timer(fn):
     """Wall-time decorator (reference ``retunegan/utils.py:85-92``)."""
     @functools.wraps(fn)
