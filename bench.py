@@ -189,15 +189,21 @@ def main():
     use_fused = default_fused_decoder()
     if use_fused:
         from transtacos_retunegan_tpu.models.acoustic import posnet_apply
-        from transtacos_retunegan_tpu.ops.fused_decoder import fused_decode
+        from transtacos_retunegan_tpu.ops.fused_decoder import fused_decode_full
 
         @jax.jit
         def acoustic(params, text, lens):
             model = Tacotron(cfg)
             enc = model.apply({'params': params}, text, lens, train=False,
                               encoder_only=True)
-            out = fused_decode(params['decoder_cell'], cfg, enc['keys'],
-                               enc['values'], enc['mask'], max_iters)
+            # production kernel (single-launch blocked decode), but with
+            # early_exit OFF: random-init params trip the stop token at step
+            # 1, so an early-exit decode would skip ~all the work and the
+            # RTF would not measure fixed decode throughput.  Serving keeps
+            # early_exit=True (serve/pipeline.py), which can only be FASTER
+            # than this number on real checkpoints.
+            out = fused_decode_full(params['decoder_cell'], cfg, enc['keys'],
+                                    enc['values'], enc['mask'], max_iters)
             return posnet_apply(params, out['mel_outputs'], cfg)
     else:
         @jax.jit

@@ -213,3 +213,106 @@ class TestFusedDecoder:
                                    np.asarray(ref['mag_outputs']), atol=2e-3)
         np.testing.assert_array_equal(np.asarray(fused['out_lengths']),
                                       np.asarray(ref['out_lengths']))
+
+
+class TestWholeDecodeKernel:
+    """Single-launch whole-decode kernel (``fused_decode_full``): the AR
+    loop as a sequential pallas grid with the carry in VMEM scratch; optional
+    early exit once every batch row has stopped."""
+
+    def test_matches_per_step_kernel(self, setup):
+        params, attn = setup
+        a = F.fused_decode(params, CFG, attn.keys, attn.values, attn.mask,
+                           STEPS, interpret=True, dtype=jnp.float32)
+        b = F.fused_decode_full(params, CFG, attn.keys, attn.values,
+                                attn.mask, STEPS, interpret=True,
+                                dtype=jnp.float32)
+        for k in ['mel_outputs', 'stop_token_outputs', 'alignments',
+                  'out_lengths']:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_early_exit_matches_trimmed(self, setup):
+        """With early exit, everything up to each row's stop token (and the
+        impute-zeroed mel tail) is bit-identical; only the post-all-finished
+        stop/align emissions (which callers trim) are zeroed."""
+        params, attn = setup
+        a = F.fused_decode(params, CFG, attn.keys, attn.values, attn.mask,
+                           STEPS, interpret=True, dtype=jnp.float32)
+        b = F.fused_decode_full(params, CFG, attn.keys, attn.values,
+                                attn.mask, STEPS, interpret=True,
+                                dtype=jnp.float32, early_exit=True)
+        np.testing.assert_array_equal(np.asarray(a['out_lengths']),
+                                      np.asarray(b['out_lengths']))
+        r = CFG.acoustic.outputs_per_step
+        # mel is impute-zeroed past finish in BOTH paths: full equality
+        np.testing.assert_array_equal(np.asarray(a['mel_outputs']),
+                                      np.asarray(b['mel_outputs']))
+        for i in range(B):
+            L = int(a['out_lengths'][i])
+            np.testing.assert_array_equal(
+                np.asarray(a['stop_token_outputs'][i, :L]),
+                np.asarray(b['stop_token_outputs'][i, :L]))
+            np.testing.assert_array_equal(
+                np.asarray(a['alignments'][i, :, :L // r]),
+                np.asarray(b['alignments'][i, :, :L // r]))
+
+    def test_no_stop_runs_all_steps(self, setup):
+        """A decode where no row ever stops must execute every step under
+        early exit (full equality with the per-step kernel)."""
+        import flax
+        params, attn = setup
+        flat = flax.traverse_util.flatten_dict(params)
+        flat[('stop_projection', 'bias')] = jnp.full_like(
+            flat[('stop_projection', 'bias')], -20.0)
+        nostop = flax.traverse_util.unflatten_dict(flat)
+        a = F.fused_decode(nostop, CFG, attn.keys, attn.values, attn.mask,
+                           STEPS, interpret=True, dtype=jnp.float32)
+        b = F.fused_decode_full(nostop, CFG, attn.keys, attn.values,
+                                attn.mask, STEPS, interpret=True,
+                                dtype=jnp.float32, early_exit=True)
+        assert int(a['out_lengths'][0]) == STEPS * CFG.acoustic.outputs_per_step
+        for k in ['mel_outputs', 'stop_token_outputs', 'alignments',
+                  'out_lengths']:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_vmem_fallback(self, setup, monkeypatch):
+        """Oversized shapes fall back to the per-step kernel with identical
+        results (budget forced to 0 so any shape trips it)."""
+        params, attn = setup
+        a = F.fused_decode(params, CFG, attn.keys, attn.values, attn.mask,
+                           STEPS, interpret=True, dtype=jnp.float32)
+        monkeypatch.setattr(F, '_VMEM_BUDGET_BYTES', 0)
+        b = F.fused_decode_full(params, CFG, attn.keys, attn.values,
+                                attn.mask, STEPS, interpret=True,
+                                dtype=jnp.float32, early_exit=True)
+        for k in ['mel_outputs', 'stop_token_outputs', 'alignments',
+                  'out_lengths']:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_nondefault_depths(self):
+        """Arbitrary prenet/GRU depths through the whole-decode kernel."""
+        cfg = dataclasses.replace(
+            Config(),
+            acoustic=dataclasses.replace(
+                Config().acoustic, decoder_depth=64, attention_depth=16,
+                prenet_depths=(48, 32), decoder_layers=3, encoder_depth=32))
+        r = np.random.RandomState(3)
+        keys = jnp.asarray(r.randn(B, N, 16).astype(np.float32) * 0.3)
+        values = jnp.asarray(r.randn(B, N, 32).astype(np.float32) * 0.3)
+        lens = np.asarray([N, N - 7])
+        mask = jnp.asarray(
+            (np.arange(N)[None, :] < lens[:, None]).astype(np.float32))
+        attn = dec.AttentionParams(keys, values * mask[..., None], mask)
+        cell = dec.make_scanned_cell(cfg, 'infer')
+        xs = {'target_prev': jnp.zeros((STEPS, B, cfg.audio.n_mel))}
+        params = cell.init({'params': jax.random.PRNGKey(1)},
+                           (dec.init_carry(B, N, cfg), attn,
+                            jnp.asarray(0.0)), xs)['params']
+        a = F.fused_decode(params, cfg, attn.keys, attn.values, attn.mask,
+                           STEPS, interpret=True, dtype=jnp.float32)
+        b = F.fused_decode_full(params, cfg, attn.keys, attn.values,
+                                attn.mask, STEPS, interpret=True,
+                                dtype=jnp.float32)
+        for k in ['mel_outputs', 'stop_token_outputs', 'alignments',
+                  'out_lengths']:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -179,10 +179,11 @@ class Synthesizer:
         cfg, steps = self.cfg, self.max_iters
 
         if self._select_fused(sharded):
-            # encoder (flax) -> pallas fused decode scan -> standalone posnet:
-            # 2 kernels per decode step instead of ~30 (see ops/fused_decoder)
+            # encoder (flax) -> single-launch pallas decode (whole AR loop in
+            # one kernel, early exit once every row stops) -> standalone
+            # posnet (see ops/fused_decoder.fused_decode_full)
             from ..models.acoustic import posnet_apply
-            from ..ops.fused_decoder import fused_decode
+            from ..ops.fused_decoder import fused_decode_full
             # compiled pallas is TPU-only; interpret mode elsewhere (tests)
             interpret = jax.default_backend() != 'tpu'
 
@@ -191,9 +192,10 @@ class Synthesizer:
                 model = Tacotron(cfg)
                 enc = model.apply({'params': params}, text, text_lengths,
                                   train=False, encoder_only=True)
-                out = fused_decode(params['decoder_cell'], cfg, enc['keys'],
-                                   enc['values'], enc['mask'], steps,
-                                   interpret=interpret)
+                out = fused_decode_full(params['decoder_cell'], cfg,
+                                        enc['keys'], enc['values'],
+                                        enc['mask'], steps,
+                                        interpret=interpret, early_exit=True)
                 out['mag_outputs'] = posnet_apply(params, out['mel_outputs'], cfg)
                 out['prds_out'] = enc['prds_out']
                 return out
@@ -276,16 +278,17 @@ class Synthesizer:
 
         if self.fused_decoder:
             from ..models.acoustic import posnet_apply
-            from ..ops.fused_decoder import fused_decode
+            from ..ops.fused_decoder import fused_decode_full
             interpret = jax.default_backend() != 'tpu'
 
             def acoustic(params, text, lens):
                 model = Tacotron(cfg)
                 enc = model.apply({'params': params}, text, lens,
                                   train=False, encoder_only=True)
-                out = fused_decode(params['decoder_cell'], cfg, enc['keys'],
-                                   enc['values'], enc['mask'], steps,
-                                   interpret=interpret)
+                out = fused_decode_full(params['decoder_cell'], cfg,
+                                        enc['keys'], enc['values'],
+                                        enc['mask'], steps,
+                                        interpret=interpret, early_exit=True)
                 return (posnet_apply(params, out['mel_outputs'], cfg),
                         out['out_lengths'])
         else:
