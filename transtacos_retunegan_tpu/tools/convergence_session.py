@@ -233,6 +233,14 @@ def main():
     p.add_argument('--acoustic_steps', type=int, default=4000)
     p.add_argument('--gan_steps', type=int, default=2500)
     p.add_argument('--n_utts', type=int, default=240)
+    p.add_argument('--n_speakers', type=int, default=1,
+                   help='>1 varies base f0 + formant scale across a speaker '
+                        'bank (corpus variability vs D memorization)')
+    p.add_argument('--min_syl', type=int, default=3)
+    p.add_argument('--max_syl', type=int, default=9)
+    p.add_argument('--frame_bucket', type=int, default=320,
+                   help='acoustic compile bucket; must cover the longest '
+                        'utterance (raise with --max_syl)')
     p.add_argument('--r1_gamma', type=float, default=0.0,
                    help='R1 gradient penalty weight for the GAN leg; 0 = '
                         'reference semantics.  The principled stabilizer '
@@ -256,16 +264,19 @@ def main():
     if os.path.exists(os.path.join(processed, 'train.txt')):
         data_dir = processed          # reuse when resuming inside a workdir
     else:
-        data_dir = build_corpus(base, cfg, args.n_utts)
+        data_dir = build_corpus(base, cfg, args.n_utts,
+                                n_speakers=args.n_speakers,
+                                min_syl=args.min_syl, max_syl=args.max_syl)
     print(f'# corpus at {data_dir}', flush=True)
 
-    # one compile key: corpus utterances are <=9 syllables / <=3.4 s, so a
-    # 320-frame bucket covers all.  Vocoder settings are the REFERENCE
-    # defaults (d_train_times=2, no grad clip) -- the round-2 verdict asked
-    # for a committed run at exactly these (VERDICT r2, next-round item 2).
+    # one compile key: --frame_bucket must cover the longest corpus
+    # utterance (default 320 frames covers <=9 syllables / <=3.4 s).
+    # Vocoder settings are the REFERENCE defaults (d_train_times=2, no grad
+    # clip) -- committed-run evidence at exactly these settings.
     import dataclasses
     acfg = dataclasses.replace(
-        cfg, acoustic=dataclasses.replace(cfg.acoustic, frame_bucket=320),
+        cfg, acoustic=dataclasses.replace(cfg.acoustic,
+                                          frame_bucket=args.frame_bucket),
         vocoder=dataclasses.replace(cfg.vocoder, r1_gamma=args.r1_gamma,
                                     compute_dtype=args.compute_dtype))
     cfg_path = acfg.save(f'{base}/cfg')

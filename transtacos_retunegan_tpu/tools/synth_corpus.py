@@ -140,8 +140,15 @@ def _env(n: int, attack: int, release: int) -> np.ndarray:
 
 def synth_syllable(c: str, v: str, tone: str, ending: str, base_f0: float,
                    rate: float, amp: float, sr: int,
-                   rng: np.random.RandomState) -> np.ndarray:
-    """One syllable: onset event + formant-glided voiced nucleus + coda."""
+                   rng: np.random.RandomState,
+                   formant_scale: float = 1.0) -> np.ndarray:
+    """One syllable: onset event + formant-glided voiced nucleus + coda.
+
+    ``formant_scale`` models vocal-tract length (speaker identity): all
+    formant targets are multiplied by it, so different speakers place the
+    same vowel at shifted F1/F2 -- variability the GAN discriminators must
+    generalize over instead of memorizing (round-3 verdict, weak item 1)."""
+    fs = formant_scale
     parts: List[np.ndarray] = []
 
     # --- onset (initial consonant)
@@ -159,7 +166,8 @@ def synth_syllable(c: str, v: str, tone: str, ending: str, base_f0: float,
     elif c in _SONORANTS:
         nm = int(0.055 * sr * rate)
         f0m = np.full(nm, base_f0 * TONE_CONTOURS.get(tone, (1.0,))[0])
-        murmur = _voiced(nm, f0m, [(280.0, 900.0 + 600.0 * _stable_unit(c, 5))],
+        murmur = _voiced(nm, f0m,
+                         [(280.0 * fs, (900.0 + 600.0 * _stable_unit(c, 5)) * fs)],
                          sr, n_harm=4)
         parts.append(0.35 * amp * murmur * _env(nm, nm // 3, nm // 4))
     # vacant initial: no onset event
@@ -169,9 +177,9 @@ def synth_syllable(c: str, v: str, tone: str, ending: str, base_f0: float,
     nv = max(int(dur * sr), 64)
     contour = _interp_keypoints(TONE_CONTOURS.get(tone, TONE_CONTOURS['5']), nv)
     f0 = base_f0 * contour * (1.0 + 0.01 * rng.randn())
-    fmts = formants_for(v)
+    fmts = [(f1 * fs, f2 * fs) for f1, f2 in formants_for(v)]
     if ending == '_R':   # erhua: F2 collapses toward schwa+rhotic
-        fmts = fmts + [(500.0, 1350.0)]
+        fmts = fmts + [(500.0 * fs, 1350.0 * fs)]
     nucleus = _voiced(nv, f0, fmts, sr)
     nucleus *= _env(nv, int(0.025 * sr), int(0.04 * sr))
     parts.append(amp * nucleus / (np.abs(nucleus).max() + 1e-9) * 0.8)
@@ -180,20 +188,25 @@ def synth_syllable(c: str, v: str, tone: str, ending: str, base_f0: float,
     if ending in ('_N', '_NG'):
         nc = int((0.05 if ending == '_N' else 0.07) * sr * rate)
         f0c = np.full(nc, f0[-1])
-        murmur = _voiced(nc, f0c, [(300.0, 1100.0 if ending == '_N' else 850.0)],
+        murmur = _voiced(nc, f0c,
+                         [(300.0 * fs, (1100.0 if ending == '_N' else 850.0) * fs)],
                          sr, n_harm=3)
         parts.append(0.3 * amp * murmur * _env(nc, nc // 4, nc // 2))
 
     return np.concatenate(parts)
 
 
-def synth_utterance(pinyin: str, cfg: Config, rng: np.random.RandomState
+def synth_utterance(pinyin: str, cfg: Config, rng: np.random.RandomState,
+                    f0_center: float = 180.0, formant_scale: float = 1.0
                     ) -> Tuple[np.ndarray, List[int]]:
     """Synthesize one utterance.  Returns (wav, per-syllable prds markers):
     a syllable followed by an inserted pause is marked break-level 1, the
-    last syllable 4 (matching the reference's prosodic-rank labels)."""
+    last syllable 4 (matching the reference's prosodic-rank labels).
+
+    ``f0_center``/``formant_scale`` set the speaker; per-utterance jitter
+    is layered on top."""
     sr = cfg.audio.sample_rate
-    base_f0 = 180.0 * 2.0 ** rng.uniform(-0.15, 0.15)
+    base_f0 = f0_center * 2.0 ** rng.uniform(-0.15, 0.15)
     rate = rng.uniform(0.9, 1.1)
     c_l, v_l, t_l, vx_l = to_syl4(pinyin)
     n = len(c_l)
@@ -202,7 +215,8 @@ def synth_utterance(pinyin: str, cfg: Config, rng: np.random.RandomState
     for i in range(n):
         amp = rng.uniform(0.5, 0.85)
         parts.append(synth_syllable(c_l[i], v_l[i], t_l[i], vx_l[i],
-                                    base_f0, rate, amp, sr, rng))
+                                    base_f0, rate, amp, sr, rng,
+                                    formant_scale=formant_scale))
         if i == n - 1:
             prds.append(4)
         elif rng.rand() < 0.3:
@@ -227,15 +241,40 @@ def sample_texts(n_utts: int, rng: np.random.RandomState,
             for _ in range(n_utts)]
 
 
+def speaker_profiles(n_speakers: int, rng: np.random.RandomState
+                     ) -> List[Tuple[float, float]]:
+    """(f0_center, formant_scale) per speaker: f0 centers log-spaced over
+    ~110-260 Hz, formant scale tied to f0 (shorter vocal tract <-> higher
+    pitch, ``(f0/180)^0.4``) with small independent jitter."""
+    if n_speakers <= 1:
+        return [(180.0, 1.0)]
+    f0s = np.exp(np.linspace(np.log(110.0), np.log(260.0), n_speakers))
+    return [(float(f0), float((f0 / 180.0) ** 0.4 * rng.uniform(0.96, 1.04)))
+            for f0 in f0s]
+
+
 def build_corpus(base: str, cfg: Config, n_utts: int = 240,
-                 seed: int = None, num_workers: int = 2) -> str:
+                 seed: int = None, num_workers: int = 2,
+                 n_speakers: int = 1, min_syl: int = 3,
+                 max_syl: int = 9) -> str:
     """Write wavs + metadata and run the standard preprocessor (train/test
-    split included).  Returns the processed data_dir."""
+    split included).  Returns the processed data_dir.
+
+    ``n_speakers`` > 1 varies base f0 and formant scale across a fixed
+    speaker bank (round-3 verdict next-round item 2: corpus variability
+    that breaks discriminator memorization); defaults reproduce the
+    round-3 single-speaker corpus exactly."""
     os.makedirs(f'{base}/wavs', exist_ok=True)
     rng = np.random.RandomState(cfg.audio.randseed if seed is None else seed)
+    speakers = speaker_profiles(n_speakers, rng)
     rows = []
-    for i, py in enumerate(sample_texts(n_utts, rng)):
-        y, prds = synth_utterance(py, cfg, rng)
+    for i, py in enumerate(sample_texts(n_utts, rng, min_syl, max_syl)):
+        # skip the rng draw for 1 speaker: keeps the round-3 corpus
+        # bit-identical under the default arguments
+        f0c, fsc = (speakers[0] if len(speakers) == 1 else
+                    speakers[int(rng.randint(0, len(speakers)))])
+        y, prds = synth_utterance(py, cfg, rng, f0_center=f0c,
+                                  formant_scale=fsc)
         F.save_wav(y, f'{base}/wavs/u{i:04d}.wav', cfg.audio)
         rows.append(f'u{i:04d}|{py}|{"".join(map(str, prds))}')
     with open(f'{base}/metadata.csv', 'w', encoding='utf-8') as fh:
