@@ -36,6 +36,12 @@ def main():
                    help='data-parallel serving over N local devices: the '
                         'batched surfaces (tts_batch etc.) shard their '
                         'batch dim over a jax.sharding.Mesh via GSPMD')
+    p.add_argument('--max_batch', type=int, default=8,
+                   help='dynamic micro-batching: max coalesced batch')
+    p.add_argument('--batch_window_ms', type=float, default=6.0,
+                   help='dynamic micro-batching window; 0 disables '
+                        'coalescing (every request runs solo on the '
+                        'lowest-latency fused path)')
     args = p.parse_args()
 
     cfg = Config.load(args.config) if args.config else Config()
@@ -60,12 +66,19 @@ def main():
     synth.tts('ni3 hao3', neural=True)
     print(f'warmup took {time.time() - t0:.1f}s')
 
+    batching = args.batch_window_ms > 0
     if args.mode == 'all':
-        serve_all(synth, args.host)
-        print('serving on ports 5103 (webui), 5104 (vocoder), 5105 (acoustic)')
+        serve_all(synth, args.host, batching=batching,
+                  max_batch=args.max_batch,
+                  batch_window_s=args.batch_window_ms / 1000.0)
+        print('serving on ports 5103 (webui), 5104 (vocoder), 5105 (acoustic)'
+              + (f' [micro-batching <= {args.max_batch}'
+                 f' @ {args.batch_window_ms:g} ms]' if batching else ''))
     else:
         port = args.port or PORTS[args.mode]
-        serve(synth, args.mode, port, args.host)
+        serve(synth, args.mode, port, args.host, batching=batching,
+              max_batch=args.max_batch,
+              batch_window_s=args.batch_window_ms / 1000.0)
         print(f'serving {args.mode} on port {port}')
 
     try:

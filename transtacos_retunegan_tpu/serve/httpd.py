@@ -77,8 +77,11 @@ def _mp3_bytes(wav_bytes: bytes) -> Optional[bytes]:
         return None
 
 
-def make_handler(synth: Synthesizer, role: str):
-    """role in {'webui', 'acoustic', 'vocoder', 'all'} gates which routes exist."""
+def make_handler(synth: Synthesizer, role: str, frontend=None):
+    """role in {'webui', 'acoustic', 'vocoder', 'all'} gates which routes
+    exist.  ``frontend`` (a ``batcher.BatchingFrontend``) routes the neural
+    surfaces through dynamic micro-batching: concurrent requests coalesce
+    into one batched device program instead of serializing."""
     sr = synth.cfg.audio.sample_rate
 
     class Handler(BaseHTTPRequestHandler):
@@ -110,7 +113,10 @@ def make_handler(synth: Synthesizer, role: str):
                     # acoustic role uses internal Griffin-Lim; webui/all use
                     # the neural vocoder (reference behavior split)
                     neural = role in ('webui', 'all')
-                    wav = synth.tts(txt, neural=neural)
+                    if neural and frontend is not None:
+                        wav = frontend.tts(txt)
+                    else:
+                        wav = synth.tts(txt, neural=neural)
                     body = _wav_bytes(wav, sr)
                     # ?format=mp3: compress when ffmpeg exists on PATH
                     # (reference app.py:85-90), else serve wav unchanged
@@ -137,21 +143,30 @@ def make_handler(synth: Synthesizer, role: str):
                     payload = json.loads(body)
                     texts = payload['texts']
                     neural = bool(payload.get('neural', True))
-                    wavs = synth.tts_batch(texts, neural=neural)
+                    if neural and frontend is not None:
+                        wavs = frontend.tts_batch(texts)
+                    else:
+                        wavs = synth.tts_batch(texts, neural=neural)
                     self._send(200, pickle.dumps([w.astype(np.float32)
                                                   for w in wavs]),
                                'application/octet-stream')
                 elif url.path == '/synth_spec' and role in ('acoustic', 'all'):
                     payload = json.loads(body)
                     pinyin = payload['pinyin']
-                    spec = synth.synthesize_spec(pinyin)   # [F, T] ... but the
+                    if frontend is not None:
+                        spec = frontend.synth_spec(pinyin)
+                    else:
+                        spec = synth.synthesize_spec(pinyin)   # [F, T] ... but the
                     # reference returns [T, F] (synth.py returns S then the
                     # server pickles it; app.py concatenates on axis 0 = time)
                     self._send(200, pickle.dumps(spec.T.astype(np.float32)),
                                'application/octet-stream')
                 elif url.path == '/vocode' and role in ('vocoder', 'all'):
                     spec = pickle.loads(body)
-                    wav = synth.vocode(np.asarray(spec, np.float32))
+                    if frontend is not None:
+                        wav = frontend.vocode(np.asarray(spec, np.float32))
+                    else:
+                        wav = synth.vocode(np.asarray(spec, np.float32))
                     self._send(200, pickle.dumps(wav.astype(np.float32)),
                                'application/octet-stream')
                 else:
@@ -163,8 +178,16 @@ def make_handler(synth: Synthesizer, role: str):
 
 
 def serve(synth: Synthesizer, role: str, port: int,
-          host: str = '0.0.0.0') -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer((host, port), make_handler(synth, role))
+          host: str = '0.0.0.0', batching: bool = False,
+          max_batch: int = 8,
+          batch_window_s: float = 0.006) -> ThreadingHTTPServer:
+    frontend = None
+    if batching:
+        from .batcher import BatchingFrontend
+        frontend = BatchingFrontend(synth, max_batch=max_batch,
+                                    window_s=batch_window_s)
+    server = ThreadingHTTPServer((host, port),
+                                 make_handler(synth, role, frontend))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
@@ -172,12 +195,29 @@ def serve(synth: Synthesizer, role: str, port: int,
 
 def serve_all(synth: Optional[Synthesizer] = None, host: str = '0.0.0.0',
               webui_port: int = 5103, vocoder_port: int = 5104,
-              acoustic_port: int = 5105):
-    """One process, three reference-compatible ports."""
+              acoustic_port: int = 5105, batching: bool = True,
+              max_batch: int = 8, batch_window_s: float = 0.006):
+    """One process, three reference-compatible ports.
+
+    ``batching=True`` (default) shares ONE micro-batching frontend across
+    all three ports, so concurrent requests coalesce regardless of which
+    endpoint they hit."""
     synth = synth or Synthesizer()
+    frontend = None
+    if batching:
+        from .batcher import BatchingFrontend
+        frontend = BatchingFrontend(synth, max_batch=max_batch,
+                                    window_s=batch_window_s)
+
+    def _serve(role, port):
+        server = ThreadingHTTPServer((host, port),
+                                     make_handler(synth, role, frontend))
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server
+
     servers = [
-        serve(synth, 'all', webui_port, host),
-        serve(synth, 'vocoder', vocoder_port, host),
-        serve(synth, 'acoustic', acoustic_port, host),
+        _serve('all', webui_port),
+        _serve('vocoder', vocoder_port),
+        _serve('acoustic', acoustic_port),
     ]
     return servers

@@ -21,6 +21,8 @@ cached.
 from __future__ import annotations
 
 import functools
+import itertools
+import zlib
 from typing import Dict, List, Optional
 
 import jax
@@ -89,7 +91,14 @@ class Synthesizer:
         # parallelism.  Per-surface selection happens in _build_infer.
         self.mesh = mesh
         self._dp = int(mesh.shape['data']) if mesh is not None else 1
-        self._rng = jax.random.PRNGKey(seed)
+        # Request RNG, concurrency-safe: the old ``self._rng, key =
+        # jax.random.split(self._rng)`` read-modify-write races under
+        # ThreadingHTTPServer (two requests could read the same key or lose
+        # an update).  Instead each request folds a fresh counter value into
+        # a fixed base key: ``next()`` on itertools.count is atomic under
+        # the GIL and fold_in is pure, so no lock is needed.
+        self._rng_base = jax.random.PRNGKey(seed)
+        self._rng_count = itertools.count()
         self.kanji2pinyin = frontend.KanjiPinyin(kanji_table)
 
         # acoustic params
@@ -122,6 +131,19 @@ class Synthesizer:
         self._tts_fused_fn = functools.lru_cache(maxsize=16)(
             self._build_tts_fused)
         self._gl_fn = functools.lru_cache(maxsize=32)(self._build_gl)
+
+    # ------------------------------------------------------------------
+    # request RNG
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        """Fresh per-request PRNG key; safe under concurrent callers."""
+        return jax.random.fold_in(self._rng_base, next(self._rng_count))
+
+    def content_key(self, data: bytes):
+        """PRNG key derived from request CONTENT (not arrival order): the
+        same payload always synthesizes the same audio, so a batching
+        server's output is independent of how requests coalesce."""
+        return jax.random.fold_in(self._rng_base, zlib.crc32(data))
 
     # ------------------------------------------------------------------
     # jitted stage builders (cached per shape bucket)
@@ -325,7 +347,7 @@ class Synthesizer:
         n_pad = _round_up(max(n, 1), self.cfg.acoustic.text_bucket)
         text = np.zeros((1, n_pad, 2), np.int32)
         text[0, :n] = seq
-        self._rng, key = jax.random.split(self._rng)
+        key = self._next_key()
         wav, out_len = self._tts_fused_fn(n_pad)(
             self.acoustic_params, self.gen_params, jnp.asarray(text),
             jnp.asarray([n]), key)
@@ -393,33 +415,43 @@ class Synthesizer:
         spec = self.synthesize_spec(pinyin)
         t_real = spec.shape[1]
         spec = self._bucket_spec(spec)
-        self._rng, key = jax.random.split(self._rng)
+        key = self._next_key()
         wav = np.asarray(self._gl_fn(spec.shape[1])(jnp.asarray(spec), key))
         wav = wav[:self.cfg.audio.hop_length * t_real]
         if trim:
             wav = features.trim_silence(wav, self.cfg.audio)
         return wav.astype(np.float32)
 
-    def vocode(self, spec: np.ndarray) -> np.ndarray:
-        """Natural-scale spec (either orientation) -> neural wav."""
+    def vocode(self, spec: np.ndarray, key=None) -> np.ndarray:
+        """Natural-scale spec (either orientation) -> neural wav.
+
+        ``key`` overrides the GL-template phase-init key (a batching server
+        passes ``content_key`` so output is arrival-order independent)."""
         if spec.shape[0] not in (self.cfg.audio.n_freq, self.cfg.audio.n_freq - 1):
             spec = spec.T                                    # orient to [F, T]
         spec = np.asarray(dsp.fix_zero_dc(jnp.asarray(spec), self.cfg.audio))
         t_real = spec.shape[1]
         spec = self._bucket_spec(spec)
-        self._rng, key = jax.random.split(self._rng)
+        if key is None:
+            key = self._next_key()
         wav = self._vocode_fn(spec.shape[1])(self.gen_params,
                                              jnp.asarray(spec), key)
         return np.asarray(wav)[:self.cfg.audio.hop_length * t_real].astype(np.float32)
 
-    def vocode_batch(self, specs: List[np.ndarray]) -> List[np.ndarray]:
+    def vocode_batch(self, specs: List[np.ndarray],
+                     keys: Optional[List] = None) -> List[np.ndarray]:
         """Batched neural vocoding: one GL-template + one generator call.
 
         Specs pad to a common frame bucket with per-spec near-silence and
         the batch pads to a power of two (bounding the compile-key space);
-        each wav trims back to its spec's true length."""
+        each wav trims back to its spec's true length.  ``keys`` optionally
+        pins one PRNG key per spec (content-derived keys make the output
+        independent of batch composition -- the batching server relies on
+        this)."""
         if not specs:
             return []
+        if keys is not None and len(keys) != len(specs):
+            raise ValueError(f'{len(keys)} keys for {len(specs)} specs')
         n_freq = self.cfg.audio.n_freq
         oriented = []
         for s in specs:
@@ -436,10 +468,12 @@ class Synthesizer:
             mags[i, :, :s.shape[1]] = s
             mags[i, :, s.shape[1]:] = float(s.min())
         mags[b:] = mags[:1]                       # fill rows = real work
-        self._rng, sub = jax.random.split(self._rng)
-        keys = jax.random.split(sub, b_pad)
+        if keys is None:
+            key_arr = jax.random.split(self._next_key(), b_pad)
+        else:
+            key_arr = jnp.stack(list(keys) + [keys[0]] * (b_pad - b))
         wavs = np.asarray(self._vocode_batch_fn(t_pad)(
-            self.gen_params, jnp.asarray(mags), keys))
+            self.gen_params, jnp.asarray(mags), key_arr))
         hop = self.cfg.audio.hop_length
         return [wavs[i, :hop * t_real[i]].astype(np.float32)
                 for i in range(b)]
@@ -482,7 +516,8 @@ class Synthesizer:
             specs.append(np.asarray(dsp.fix_zero_dc(s, self.cfg.audio)))
         return specs
 
-    def tts_batch(self, texts: List[str], neural: bool = True) -> List[np.ndarray]:
+    def tts_batch(self, texts: List[str], neural: bool = True,
+                  keys: Optional[List] = None) -> List[np.ndarray]:
         """Batched text->wav for throughput serving."""
         pinyins = []
         for t in texts:
@@ -493,12 +528,12 @@ class Synthesizer:
                 pinyins.append(' '.join(self.kanji2pinyin(s) for s in segs))
         specs = self.synthesize_spec_batch(pinyins)
         if neural:
-            return self.vocode_batch(specs)
+            return self.vocode_batch(specs, keys=keys)
         wavs = []
         for s in specs:
             t_real = s.shape[1]
             sp = self._bucket_spec(s)
-            self._rng, key = jax.random.split(self._rng)
+            key = self._next_key()
             w = np.asarray(self._gl_fn(sp.shape[1])(jnp.asarray(sp), key))
             wavs.append(features.trim_silence(
                 w[:self.cfg.audio.hop_length * t_real].astype(np.float32),
@@ -520,6 +555,6 @@ class Synthesizer:
         spec = np.concatenate(specs, axis=1)
         if neural:
             return self.vocode(spec)
-        self._rng, key = jax.random.split(self._rng)
+        key = self._next_key()
         wav = np.asarray(self._gl_fn(spec.shape[1])(jnp.asarray(spec), key))
         return features.trim_silence(wav.astype(np.float32), self.cfg.audio)

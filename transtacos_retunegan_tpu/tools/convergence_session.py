@@ -274,9 +274,16 @@ def main():
     # Vocoder settings are the REFERENCE defaults (d_train_times=2, no grad
     # clip) -- committed-run evidence at exactly these settings.
     import dataclasses
+    # frame_bucket is a frame-padding MULTIPLE and must itself be a multiple
+    # of r: teacher-forced decode runs t_pad/r steps, so a non-multiple
+    # desyncs output frames from target frames (shape error at 512 vs 510)
+    r = cfg.acoustic.outputs_per_step
+    fb = -(-args.frame_bucket // r) * r
+    if fb != args.frame_bucket:
+        print(f'# frame_bucket {args.frame_bucket} -> {fb} (multiple of r={r})',
+              flush=True)
     acfg = dataclasses.replace(
-        cfg, acoustic=dataclasses.replace(cfg.acoustic,
-                                          frame_bucket=args.frame_bucket),
+        cfg, acoustic=dataclasses.replace(cfg.acoustic, frame_bucket=fb),
         vocoder=dataclasses.replace(cfg.vocoder, r1_gamma=args.r1_gamma,
                                     compute_dtype=args.compute_dtype))
     cfg_path = acfg.save(f'{base}/cfg')
