@@ -104,7 +104,11 @@ def pesq_proxy(y: np.ndarray, y_hat: np.ndarray, sr: int) -> float:
     16 kHz, gain alignment, bark-band loudness (power^0.23), symmetric +
     asymmetric (additive-noise-weighted) disturbances mapped to a MOS-like
     scale -- but is NOT ITU-calibrated: use it as a monotonic relative
-    score, not an absolute PESQ value.
+    score, not an absolute PESQ value.  mstft and MCD (standard, externally
+    comparable quantities) are the PRIMARY metrics; this proxy is a
+    secondary tie-breaker.  Its rank-ordering is pinned against three
+    degradation ladders (additive noise 30..0 dB SNR, Griffin-Lim 1/4/30
+    iterations, mu-law 8..2 bits) in ``tests/test_pesq_calibration.py``.
     """
     y, y_hat = align_lengths(np.asarray(y, np.float64),
                              np.asarray(y_hat, np.float64))
