@@ -149,6 +149,26 @@ def pesq_proxy(y: np.ndarray, y_hat: np.ndarray, sr: int) -> float:
     return float(np.clip(score, 1.0, 4.5))
 
 
+def prds_accuracy(prds_true: np.ndarray, prds_pred: np.ndarray,
+                  text_lengths: np.ndarray) -> float:
+    """Masked token accuracy of the prosody subnetwork's predictions.
+
+    The reference's only prdsnet evaluation is the checkpoint-time
+    ground-truth-vs-predicted dump (``transtacos/train.py:110-121``); this
+    turns the same comparison into a number: fraction of VALID text
+    positions (pos < text_length per row) where the predicted prosody mark
+    equals the label.
+    """
+    prds_true = np.asarray(prds_true)
+    prds_pred = np.asarray(prds_pred)
+    lens = np.asarray(text_lengths)
+    mask = np.arange(prds_true.shape[-1])[None, :] < lens[:, None]
+    n = mask.sum()
+    if n == 0:
+        return 0.0
+    return float(((prds_true == prds_pred) & mask).sum() / n)
+
+
 def alignment_diagonality(align: np.ndarray) -> Dict[str, float]:
     """Diagnostics for a decoder alignment matrix [n_text, n_decode_steps].
 

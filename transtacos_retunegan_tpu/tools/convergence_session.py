@@ -137,15 +137,21 @@ def eval_teacher_forced(cfg: Config, data_dir: str, ac_run: str) -> dict:
                                 'tf': jax.random.PRNGKey(2)})
         if mutable:
             out, _ = out
-        return compute_losses(out, batch, cfg, params)
+        return compute_losses(out, batch, cfg, params), out['prds_out']
 
-    losses = tf_losses(state.params, state.extra_vars, batch)
+    losses, prds_out = tf_losses(state.params, state.extra_vars, batch)
     # NOTE reference name swap: 'mel_loss' is the LINEAR-spec L1,
     # 'mag_loss' the mel L1 (acoustic_step.compute_losses docstring)
-    return {'held_out_mel_l1': float(losses['mag_loss']),
-            'held_out_mag_l1': float(losses['mel_loss']),
-            'held_out_stop_ce': float(losses['stop_token_loss']),
-            'n_test_items': len(dataset)}
+    res = {'held_out_mel_l1': float(losses['mag_loss']),
+           'held_out_mag_l1': float(losses['mel_loss']),
+           'held_out_stop_ce': float(losses['stop_token_loss']),
+           'n_test_items': len(dataset)}
+    if prds_out is not None:
+        from ..eval.metrics import prds_accuracy
+        res['held_out_prds_accuracy'] = prds_accuracy(
+            np.asarray(batch['prds']), np.asarray(prds_out),
+            np.asarray(batch['text_lengths']))
+    return res
 
 
 def eval_synthesis(cfg: Config, data_dir: str, ac_run: str, vo_run: str,

@@ -95,6 +95,44 @@ def train_step(cfg: Config, state: TrainState, batch: Dict[str, Any],
     return TrainState(state.step + 1, params, opt_state, new_extra), losses
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def summary_stats(cfg: Config, state: TrainState, batch: Dict[str, Any],
+                  rng: jax.Array) -> Dict[str, Any]:
+    """Histogram payloads for TensorBoard (capability parity with the
+    reference's ``tf.summary.histogram`` stats, ``tacotron.py:272-294``):
+    the teacher-forced mel/mag outputs, per-parameter gradient L2 norms
+    (a pytree of scalars), and predicted prosody marks.
+
+    A separate jitted program (NOT folded into ``train_step``) so the hot
+    path pays nothing: this runs only at ``--summary_interval``.
+    """
+    model = Tacotron(cfg)
+    tfr = teacher_forcing_ratio(state.step, cfg.acoustic)
+    rngs = {'noise': jax.random.fold_in(rng, 1),
+            'dropout': jax.random.fold_in(rng, 2),
+            'tf': jax.random.fold_in(rng, 3)}
+    mutable = list(state.extra_vars.keys())
+
+    def loss_fn(params):
+        out = model.apply({'params': params, **state.extra_vars},
+                          batch['text'],
+                          batch['text_lengths'], batch['prds'],
+                          batch['spec_lengths'], batch['mel_targets'],
+                          batch['f0_targets'], batch['c0_targets'], tfr,
+                          train=True, rngs=rngs,
+                          mutable=mutable if mutable else False)
+        if mutable:
+            out, _ = out
+        return compute_losses(out, batch, cfg, params)['loss'], out
+
+    grads, out = jax.grad(loss_fn, has_aux=True)(state.params)
+    norms = jax.tree.map(jnp.linalg.norm, grads)
+    return {'mel_outputs': out['mel_outputs'],
+            'mag_outputs': out['mag_outputs'],
+            'prds_out': out['prds_out'],
+            'grad_norms': norms}
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def infer_step(cfg: Config, params, batch: Dict[str, Any],
                max_iters: int, extra_vars=None) -> Dict[str, jnp.ndarray]:

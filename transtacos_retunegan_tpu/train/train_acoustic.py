@@ -169,6 +169,28 @@ def train(args) -> None:
         if sw is not None and step % args.summary_interval == 0:
             for k, v in losses.items():
                 sw.add_scalar(f'train/{k}', float(v), step)
+            # histogram stats (reference ``tacotron.py:272-294``): model
+            # outputs vs targets + per-parameter gradient norms.  Separate
+            # jitted program so the hot train_step stays untouched.
+            from .acoustic_step import summary_stats
+            stats = summary_stats(cfg, state, batch, sub)
+            sw.add_histogram('mel_outputs',
+                             np.asarray(stats['mel_outputs']), step)
+            sw.add_histogram('mel_targets',
+                             np.asarray(batch['mel_targets']), step)
+            sw.add_histogram('mag_outputs',
+                             np.asarray(stats['mag_outputs']), step)
+            sw.add_histogram('mag_targets',
+                             np.asarray(batch['mag_targets']), step)
+            gn = np.asarray([float(g) for g in
+                             jax.tree.leaves(stats['grad_norms'])], np.float32)
+            sw.add_histogram('gradient_norm', gn, step)
+            sw.add_scalar('train/max_gradient_norm', float(gn.max()), step)
+            if stats['prds_out'] is not None:
+                from ..eval.metrics import prds_accuracy
+                sw.add_scalar('train/prds_accuracy', prds_accuracy(
+                    np.asarray(batch['prds']), np.asarray(stats['prds_out']),
+                    np.asarray(batch['text_lengths'])), step)
 
         if step % args.checkpoint_interval == 0:
             path = ckpt.save_acoustic(args.log_path, state)
@@ -178,6 +200,30 @@ def train(args) -> None:
 
     feeder.stop()
     logger.info(f'training complete at step {step}')
+
+
+def format_decode_dump(cfg, batch, out) -> list:
+    """Checkpoint-time input decode (reference ``transtacos/train.py:102-121``):
+    the first batch item's phone string, tone string, and -- in syl4 mode --
+    ground-truth vs predicted prosody marks with masked accuracy.  Returns
+    log lines."""
+    from ..eval.metrics import prds_accuracy
+    from ..text import frontend
+
+    n = int(batch['text_lengths'][0])
+    seq = np.asarray(batch['text'][0][:n])
+    lines = ['Input:',
+             f"  text: {' '.join(frontend.deserialize(seq, cfg.acoustic.g2p))}"]
+    if seq.ndim == 2:                       # syl4 [T, 2]: (phone id, tone)
+        lines.append(f"  tone: {''.join(str(t) for t in seq[:, 1])}")
+    if out.get('prds_out') is not None:
+        prds_r = np.asarray(batch['prds'][0][:n])
+        prds_o = np.asarray(out['prds_out'][0][:n])
+        acc = prds_accuracy(prds_r[None], prds_o[None], np.asarray([n]))
+        lines.append(f"  prds: {''.join(str(p) for p in prds_r)}")
+        lines.append(f"  pred: {''.join(str(p) for p in prds_o)} "
+                     f"(accuracy {acc:.3f})")
+    return lines
 
 
 def _dump_eval(cfg, state: TrainState, batch, log_path, step, logger, sw):
@@ -199,6 +245,8 @@ def _dump_eval(cfg, state: TrainState, batch, log_path, step, logger, sw):
                             'tf': jax.random.PRNGKey(2)})
     if mutable:
         out, _ = out
+    for line in format_decode_dump(cfg, batch, out):
+        logger.info(line)
     mag_t = np.asarray(batch['mag_targets'][0]).T     # [F-1, T]
     mag_p = np.asarray(out['mag_outputs'][0]).T
     try:
