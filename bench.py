@@ -304,6 +304,36 @@ def main():
         dt = time.perf_counter() - t0
         t_single = dt if t_single is None else min(t_single, dt)
 
+    # (2b) concurrent-request QPS through the self-batching serving frontend
+    # (serve/batcher.py): 16 independent threads hit BatchingFrontend.vocode
+    # with fixed 400-frame specs; the coalescer groups them into batched
+    # device programs (max_batch=8).  Contrast with the one-at-a-time
+    # single_request_latency above -- the reference serves requests strictly
+    # serially (app.py:61-90).
+    t_conc = n_conc = None
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from transtacos_retunegan_tpu.serve.batcher import BatchingFrontend
+        from transtacos_retunegan_tpu.serve.pipeline import Synthesizer
+        synth = Synthesizer(cfg, infer_dtype=infer_dtype)
+        fe = BatchingFrontend(synth, max_batch=8, window_s=0.006)
+        n_conc = 16
+        rng_s = np.random.RandomState(7)
+        specs = [np.abs(rng_s.randn(au.n_freq, t_frames) * 0.01)
+                 .astype(np.float32) for _ in range(n_conc)]
+
+        def _conc_trial():
+            with ThreadPoolExecutor(n_conc) as ex:
+                t0 = time.perf_counter()
+                list(ex.map(fe.vocode, specs))
+                return (time.perf_counter() - t0) / n_conc
+        _conc_trial()                               # compile + warmup
+        t_conc = _min_of_trials(_conc_trial, n_trial, 'concurrent')
+        del synth, fe
+    except Exception as e:
+        print(f'# concurrent-QPS leg skipped: {e!r}', file=sys.stderr)
+
     # (3) training throughput (free the inference params first; the GAN
     # step holds G+D x3 + two optimizer states)
     # inference-path FLOPs for utilization accounting
@@ -327,6 +357,11 @@ def main():
             'vocoder_s': round(t_vo, 4),
             'single_request_latency_s': round(t_single, 4),
             'single_request_rtf': round(t_single / audio_seconds, 5),
+            'concurrent_requests': n_conc,
+            'concurrent_qps': round(1.0 / t_conc, 1) if t_conc else None,
+            'concurrent_stream_ms': round(t_conc * 1000, 2) if t_conc else None,
+            'concurrent_rtf': (round(t_conc / audio_seconds, 6)
+                               if t_conc else None),
             'audio_s': round(audio_seconds, 3),
             'mel_frames_per_s': round(t_frames / t_ac, 1),
             'vocoder_samples_per_s': round(t_frames * au.hop_length / t_vo, 1),
