@@ -187,6 +187,29 @@ class TestAlignmentDiagonality:
         assert d2['diagonality'] == 0.0
         assert d2['focus'] == pytest.approx(1.0 / n)
 
+    def test_mass_coverage_sees_short_tokens_argmax_misses(self):
+        """A token spoken for < 1 decode step never wins an argmax but its
+        attention mass is still visible: mass_coverage must credit it."""
+        from transtacos_retunegan_tpu.eval.metrics import alignment_diagonality
+        n, t = 4, 6
+        a = np.zeros((n, t))
+        # tokens 0/1/3 each own two steps outright; short token 2 only ever
+        # gets 40% of steps 3 and 4 (argmax goes to its neighbours)
+        a[0, 0] = a[0, 1] = 1.0
+        a[1, 2] = 1.0
+        a[1, 3] = 0.6
+        a[2, 3] = 0.4
+        a[2, 4] = 0.4
+        a[3, 4] = 0.6
+        a[3, 5] = 1.0
+        d = alignment_diagonality(a)
+        assert d['coverage'] == pytest.approx(3 / 4)       # argmax misses #2
+        assert d['mass_coverage'] == pytest.approx(1.0)    # mass 0.8 >= 0.25
+        # a token with only leakage-level mass stays uncovered
+        a[2, 3] = a[2, 4] = 0.05
+        a[1, 3], a[3, 4] = 0.95, 0.95
+        assert alignment_diagonality(a)['mass_coverage'] == pytest.approx(3 / 4)
+
 
 class TestAdviceFixes:
     def test_pesq_proxy_short_signal_continuous(self):

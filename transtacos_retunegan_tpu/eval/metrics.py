@@ -169,7 +169,8 @@ def prds_accuracy(prds_true: np.ndarray, prds_pred: np.ndarray,
     return float(((prds_true == prds_pred) & mask).sum() / n)
 
 
-def alignment_diagonality(align: np.ndarray) -> Dict[str, float]:
+def alignment_diagonality(align: np.ndarray,
+                          mass_thresh: float = 0.25) -> Dict[str, float]:
     """Diagnostics for a decoder alignment matrix [n_text, n_decode_steps].
 
     * ``diagonality``: Pearson correlation between the decode-step index and
@@ -178,6 +179,14 @@ def alignment_diagonality(align: np.ndarray) -> Dict[str, float]:
     * ``focus``: mean max attention weight per decode step.
     * ``coverage``: fraction of text positions that are the argmax of at
       least one decode step (diagonal alignments read every token).
+    * ``mass_coverage``: fraction of text positions whose TOTAL attention
+      mass across decode steps is >= ``mass_thresh`` (in units of decode
+      steps).  Argmax coverage structurally under-counts at r=5: a phone
+      spoken for fewer frames than one decode step covers (< r * hop =
+      62.5 ms) can never win an argmax even under a perfect alignment,
+      while its attention mass (~ duration / r steps) is still visible.
+      The default 0.25 sits below the mass of the shortest real phones
+      (~30 ms ~ 0.5 steps) but above off-diagonal leakage.
     """
     a = np.asarray(align, np.float64)
     n_text, n_steps = a.shape
@@ -191,6 +200,8 @@ def alignment_diagonality(align: np.ndarray) -> Dict[str, float]:
         'diagonality': diag,
         'focus': float(np.mean(np.max(a, axis=0))),
         'coverage': float(len(np.unique(pos)) / max(n_text, 1)),
+        'mass_coverage': float((a.sum(axis=1) >= mass_thresh).sum()
+                               / max(n_text, 1)),
     }
 
 

@@ -571,13 +571,14 @@ def fused_decode_full(cell_params: Dict[str, Any], cfg: Config,
                     pltpu.VMEM((block, b, n), jnp.float32),
                     pltpu.VMEM((block, b, 1), jnp.float32)]
     kwargs = {}
-    if pltpu is not None and not interpret and early_exit:
-        # Mosaic's scoped-vmem accountant charges the conditional body's
-        # operands per-branch, pushing the early-exit kernel past the 16 MB
-        # default even though the live set (weights + memory + carry
-        # + emission scratch, ~9 MB) fits; raise the scoped limit to the
-        # physical headroom instead of restructuring the kernel around the
-        # accountant.
+    if pltpu is not None and not interpret:
+        # Mosaic's scoped-vmem accountant over-charges this kernel past the
+        # 16 MB default even though the live set (weights + memory + carry
+        # + emission scratch, ~9 MB) fits: conditional bodies are charged
+        # per-branch (early_exit), and the bf16 path is charged for both
+        # the bf16 weights and their f32 operand copies (20.5 MB scoped at
+        # DEFAULT dims).  Raise the scoped limit to the physical headroom
+        # instead of restructuring the kernel around the accountant.
         kwargs['compiler_params'] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
     frames, stop, align, fin = pl.pallas_call(

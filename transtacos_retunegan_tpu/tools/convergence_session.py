@@ -186,6 +186,8 @@ def eval_synthesis(cfg: Config, data_dir: str, ac_run: str, vo_run: str,
         'mean_diagonality': float(np.mean([r['diagonality'] for r in rows])),
         'mean_focus': float(np.mean([r['focus'] for r in rows])),
         'mean_coverage': float(np.mean([r['coverage'] for r in rows])),
+        'mean_mass_coverage': float(np.mean([r['mass_coverage']
+                                             for r in rows])),
     }
 
 
@@ -447,17 +449,19 @@ def _write_report(args, cfg, steps, loss, mel, stop,
             '(alignment metrics per `eval/metrics.py::alignment_diagonality`;',
             'see `alignment_heldout.png`):',
             '',
-            '| utterance | diagonality | focus | coverage | frames |',
-            '|---|---|---|---|---|',
+            '| utterance | diagonality | focus | coverage | mass cov. | frames |',
+            '|---|---|---|---|---|---|',
         ]
         for r in sy.get('per_utt', []):
             md.append(f"| {r['name']} | {r['diagonality']:.3f} | "
                       f"{r['focus']:.3f} | {r['coverage']:.3f} | "
+                      f"{r.get('mass_coverage', float('nan')):.3f} | "
                       f"{r['n_frames']} |")
         md += [
             f"| **mean** | **{sy.get('mean_diagonality', float('nan')):.3f}** | "
             f"{sy.get('mean_focus', float('nan')):.3f} | "
-            f"{sy.get('mean_coverage', float('nan')):.3f} | |",
+            f"{sy.get('mean_coverage', float('nan')):.3f} | "
+            f"{sy.get('mean_mass_coverage', float('nan')):.3f} | |",
             '',
             '### Trained vocoder vs its own Griffin-Lim template (held out)',
             '',
