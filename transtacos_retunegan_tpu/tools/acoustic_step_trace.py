@@ -1,0 +1,210 @@
+"""Decompose the acoustic TRAIN step into timed sub-programs on-device.
+
+Round-3 verdict weak item 3 asks that the 8.8 ms / low-MFU training step be
+attacked "the way the GAN step was attacked": measure first, then either fix
+or commit a justified rejection.  ``acoustic_step_ab.py`` measured the scan
+``unroll`` knob; this tool answers the prior question — *where does the step
+time actually go* — by timing each stage as its own jitted program at bench
+geometry (bs16 x T400 x N32):
+
+  * full ``train_step``                       (the baseline)
+  * teacher-forced forward + loss (no grad)   (fwd/bwd split)
+  * encoder-only forward (``encoder_only=True`` + aux heads)
+  * decode scan, standalone, forward          (params extracted from the
+    trained tree; same ``nn.scan`` program the model runs)
+  * decode scan, standalone, fwd+bwd          (grad wrt cell params -> the
+    honest upper bound a fused decode kernel could save)
+  * posnet, standalone, forward               (``posnet_apply``)
+  * optimizer-only (precomputed grads -> clip+adam+apply)
+
+Stage programs overlap (the full step fuses boundaries the standalone
+programs cannot), so the parts need not sum to the whole; the point is the
+RATIO — what fraction of the step a fused decode kernel could possibly
+remove.  Methodology per docs/PERF_NOTES.md: materialize via ``float(...)``,
+per-program warmup loop, min-of-trials.
+
+Usage (TPU; several fresh compiles, budget ~15 min cold):
+  python -m transtacos_retunegan_tpu.tools.acoustic_step_trace \
+      [--out docs/acoustic_step_trace.json] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+
+_CACHE = os.path.join(os.getcwd(), '.jax_cache')
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _CACHE)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ..config import Config  # noqa: E402
+from ..models import decoder as dec  # noqa: E402
+from .acoustic_step_ab import make_batch  # noqa: E402
+
+
+def _time(f, args, n_warm=8, n=10, n_trial=3):
+    out = f(*args)
+    float(jax.tree.leaves(out)[0].sum())
+    for _ in range(n_warm):
+        out = f(*args)
+    float(jax.tree.leaves(out)[0].sum())
+    best = None
+    for _ in range(n_trial):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f(*args)
+        float(jax.tree.leaves(out)[0].sum())
+        dt = (time.perf_counter() - t0) / n
+        best = dt if best is None else min(best, dt)
+    return best * 1000.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--out', default='docs/acoustic_step_trace.json')
+    p.add_argument('--tiny', action='store_true', default=False,
+                   help='tiny dims/geometry (CPU smoke of this script)')
+    args = p.parse_args()
+
+    cfg = Config()
+    if args.tiny:
+        cfg = dataclasses.replace(
+            cfg, acoustic=dataclasses.replace(
+                cfg.acoustic, embed_depth=32, encoder_depth=32,
+                decoder_depth=64, attention_depth=16, prenet_depths=(32,),
+                posnet_depth=64, var_embed_depth=16, var_prednet_depth=16,
+                prdsnet_depth=16, posenc_depth=8))
+    batch = make_batch(cfg, b=2, n_txt=12, t=20) if args.tiny \
+        else make_batch(cfg)
+    hp = cfg.acoustic
+    b = batch['prds'].shape[0]
+    t = batch['mel_targets'].shape[1]
+    n_txt = batch['prds'].shape[1]
+    r = hp.outputs_per_step
+
+    from ..models.acoustic import Tacotron, compute_losses, posnet_apply
+    from ..train.acoustic_step import make_optimizer
+    from .acoustic_step_ab import time_step
+
+    model = Tacotron(cfg)
+    res = {}
+
+    # ---- full step + forward-only ---------------------------------------
+    # time_step rebinds the state each call (train_step donates it)
+    step_s, state = time_step(cfg, batch)
+    res['full_train_step'] = step_s * 1000.0
+    mutable = list(state.extra_vars.keys())
+    rngs = {'noise': jax.random.PRNGKey(1), 'dropout': jax.random.PRNGKey(2),
+            'tf': jax.random.PRNGKey(3)}
+
+    @jax.jit
+    def fwd_loss(params, extra):
+        out = model.apply({'params': params, **extra}, batch['text'],
+                          batch['text_lengths'], batch['prds'],
+                          batch['spec_lengths'], batch['mel_targets'],
+                          batch['f0_targets'], batch['c0_targets'],
+                          jnp.asarray(1.0), train=True, rngs=rngs,
+                          mutable=mutable if mutable else False)
+        if mutable:
+            out, _ = out
+        return compute_losses(out, batch, cfg, params)['loss']
+
+    res['forward_loss'] = _time(fwd_loss, (state.params, state.extra_vars))
+
+    # ---- encoder-only (embeddings + prdsnet + SA encoder + key proj) ----
+    @jax.jit
+    def enc_only(params, extra):
+        return model.apply({'params': params, **extra}, batch['text'],
+                           batch['text_lengths'], batch['prds'],
+                           batch['spec_lengths'], batch['mel_targets'],
+                           batch['f0_targets'], batch['c0_targets'],
+                           jnp.asarray(1.0), train=False,
+                           encoder_only=True)['keys']
+
+    res['encoder_forward'] = _time(enc_only, (state.params, state.extra_vars))
+
+    # ---- decode scan, standalone -----------------------------------------
+    # Same scanned program the training forward runs, on fixed random
+    # encoder outputs; params taken from the trained tree.
+    enc_dim = hp.encoder_depth
+    rng = np.random.RandomState(7)
+    enc_out = jnp.asarray(rng.randn(b, n_txt, enc_dim).astype(np.float32))
+    keys = enc_out @ jnp.asarray(
+        rng.randn(enc_dim, hp.attention_depth).astype(np.float32) * 0.05)
+    attn_p = dec.prepare_attention(enc_out, batch['text_lengths'], keys)
+    xs = {'target_prev': dec.teacher_inputs(batch['mel_targets'], r)}
+    cell = dec.make_scanned_cell(cfg, 'train', remat=hp.remat_decoder,
+                                 unroll=hp.scan_unroll)
+    cell_params = state.params['decoder_cell']
+    scan_rngs = {'dropout': jax.random.PRNGKey(2), 'tf': jax.random.PRNGKey(3)}
+
+    @jax.jit
+    def scan_fwd(cp):
+        carry = dec.init_carry(b, n_txt, cfg)
+        (_, _, _), ys = cell.apply({'params': cp},
+                                   (carry, attn_p, jnp.asarray(1.0)), xs,
+                                   rngs=scan_rngs)
+        return ys['frames']
+
+    res['decode_scan_forward'] = _time(scan_fwd, (cell_params,))
+
+    @jax.jit
+    def scan_fwdbwd(cp):
+        def loss(cp):
+            return jnp.sum(jnp.abs(scan_fwd.__wrapped__(cp)))
+        return jax.grad(loss)(cp)
+
+    res['decode_scan_fwd_bwd'] = _time(scan_fwdbwd, (cell_params,))
+
+    # ---- posnet, standalone ----------------------------------------------
+    mel = jnp.asarray(rng.randn(b, t, cfg.audio.n_mel).astype(np.float32))
+
+    @jax.jit
+    def posnet_fwd(params):
+        return posnet_apply(params, mel, cfg)
+
+    res['posnet_forward'] = _time(posnet_fwd, (state.params,))
+
+    # ---- optimizer-only ---------------------------------------------------
+    grads = jax.tree.map(jnp.ones_like, state.params)
+
+    @jax.jit
+    def opt_only(g, opt_state, params):
+        updates, new_opt = make_optimizer(cfg).update(g, opt_state, params)
+        import optax
+        return optax.apply_updates(params, updates)
+
+    res['optimizer_apply'] = _time(opt_only,
+                                   (grads, state.opt_state, state.params))
+
+    result = {
+        'device': str(jax.devices()[0]),
+        'geometry': f'bs{b} x T{t} x N{n_txt}'
+                    + (' (tiny smoke)' if args.tiny else ' (bench geometry)'),
+        'note': 'standalone stage programs; boundaries differ from the fused '
+                'full step, so parts need not sum to the whole',
+        'stages_ms': {k: round(v, 2) for k, v in res.items()},
+        'derived': {
+            'backward_minus_forward_ms': round(
+                res['full_train_step'] - res['forward_loss'], 2),
+            'decode_scan_share_of_step': round(
+                res['decode_scan_fwd_bwd'] / res['full_train_step'], 3),
+        },
+    }
+    os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
+    with open(args.out, 'w') as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()
