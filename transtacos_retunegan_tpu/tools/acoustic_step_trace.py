@@ -165,6 +165,32 @@ def main():
 
     res['decode_scan_fwd_bwd'] = _time(scan_fwdbwd, (cell_params,))
 
+    # ---- decode scan, fast cell (models/decoder_fast.py) ------------------
+    # Same math, fewer/wider kernels: fused GRU gate matmuls (6 dots -> 2),
+    # folded location conv+dense, combined frame/stop head.
+    from ..models import decoder_fast as dfast
+    fcell = dfast.make_scanned_cell_fast(cfg, 'train', remat=hp.remat_decoder,
+                                         unroll=hp.scan_unroll)
+    fast_params = dfast.fuse_cell_params(cell_params)
+
+    @jax.jit
+    def scan_fast_fwd(cp):
+        carry = dec.init_carry(b, n_txt, cfg)
+        (_, _, _), ys = fcell.apply({'params': cp},
+                                    (carry, attn_p, jnp.asarray(1.0)), xs,
+                                    rngs=scan_rngs)
+        return ys['frames']
+
+    res['decode_scan_fast_forward'] = _time(scan_fast_fwd, (fast_params,))
+
+    @jax.jit
+    def scan_fast_fwdbwd(cp):
+        def loss(cp):
+            return jnp.sum(jnp.abs(scan_fast_fwd.__wrapped__(cp)))
+        return jax.grad(loss)(cp)
+
+    res['decode_scan_fast_fwd_bwd'] = _time(scan_fast_fwdbwd, (fast_params,))
+
     # ---- posnet, standalone ----------------------------------------------
     mel = jnp.asarray(rng.randn(b, t, cfg.audio.n_mel).astype(np.float32))
 
@@ -198,6 +224,9 @@ def main():
                 res['full_train_step'] - res['forward_loss'], 2),
             'decode_scan_share_of_step': round(
                 res['decode_scan_fwd_bwd'] / res['full_train_step'], 3),
+            'fast_cell_scan_speedup': round(
+                res['decode_scan_fwd_bwd'] / res['decode_scan_fast_fwd_bwd'],
+                3),
         },
     }
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
