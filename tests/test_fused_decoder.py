@@ -316,3 +316,63 @@ class TestWholeDecodeKernel:
         for k in ['mel_outputs', 'stop_token_outputs', 'alignments',
                   'out_lengths']:
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+class TestFoldedBiasesAndLayouts:
+    def test_trained_location_conv_bias_survives_folding(self, setup):
+        """Regression: fold_params dropped the location conv's bias.  Zero-
+        init params can't see it (flax Conv bias inits to zeros), so this
+        test perturbs the biases a trained checkpoint would have."""
+        params, attn = setup
+        p = jax.tree.map(lambda x: x, params)  # shallow copy of dicts below
+        r = np.random.RandomState(9)
+        lsa = dict(p['lsa'])
+        lc = dict(lsa['location_convolution'])
+        lc['bias'] = jnp.asarray(r.randn(*lc['bias'].shape).astype(np.float32))
+        lsa['location_convolution'] = lc
+        lsa['attention_bias'] = jnp.asarray(
+            r.randn(*lsa['attention_bias'].shape).astype(np.float32) * 0.3)
+        p = dict(p)
+        p['lsa'] = lsa
+
+        mel_r, stop_r, align_r, _ = run_flax(p, attn)
+        out = F.fused_decode(p, CFG, attn.keys, attn.values, attn.mask,
+                             STEPS, interpret=True, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out['alignments']),
+                                   np.asarray(align_r), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out['mel_outputs']),
+                                   np.asarray(mel_r), atol=2e-4)
+
+    def test_fast_layout_matches_stock_layout(self, setup):
+        """fold_params accepts the decoder_fast fused tree and produces the
+        same decode as the stock tree it was mapped from."""
+        from transtacos_retunegan_tpu.models.decoder_fast import \
+            fuse_cell_params
+        params, attn = setup
+        out_s = F.fused_decode(params, CFG, attn.keys, attn.values, attn.mask,
+                               STEPS, interpret=True, dtype=jnp.float32)
+        out_f = F.fused_decode(fuse_cell_params(params), CFG, attn.keys,
+                               attn.values, attn.mask, STEPS, interpret=True,
+                               dtype=jnp.float32)
+        for k in ('mel_outputs', 'stop_token_outputs', 'alignments'):
+            np.testing.assert_allclose(np.asarray(out_s[k]),
+                                       np.asarray(out_f[k]), atol=2e-5,
+                                       err_msg=k)
+        np.testing.assert_array_equal(np.asarray(out_s['out_lengths']),
+                                      np.asarray(out_f['out_lengths']))
+
+    def test_fast_layout_full_kernel(self, setup):
+        """fused_decode_full consumes the fused layout too."""
+        from transtacos_retunegan_tpu.models.decoder_fast import \
+            fuse_cell_params
+        params, attn = setup
+        out_s = F.fused_decode_full(params, CFG, attn.keys, attn.values,
+                                    attn.mask, STEPS, interpret=True,
+                                    dtype=jnp.float32)
+        out_f = F.fused_decode_full(fuse_cell_params(params), CFG, attn.keys,
+                                    attn.values, attn.mask, STEPS,
+                                    interpret=True, dtype=jnp.float32)
+        for k in ('mel_outputs', 'stop_token_outputs', 'alignments'):
+            np.testing.assert_allclose(np.asarray(out_s[k]),
+                                       np.asarray(out_f[k]), atol=2e-5,
+                                       err_msg=k)

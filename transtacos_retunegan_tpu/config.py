@@ -184,6 +184,8 @@ class AcousticConfig:
     frame_bucket: int = 80        # pad spec frames up to a multiple of this (mult of r)
     remat_decoder: bool = True    # rematerialize decoder steps in backward
     scan_unroll: int = 1          # unroll factor of the decode scan
+    fast_cell: bool = False       # fused-layout decoder cell (exact same
+                                  # math, fewer kernels/step; decoder_fast.py)
 
 
 @dataclass(frozen=True)

@@ -118,14 +118,17 @@ class Tacotron(nn.Module):
                     'mask': attn_p.mask, 'prds_out': prds_out,
                     'prds_prob': prds_prob}
         carry = dec.init_carry(b, n, self.cfg)
+        if hp.fast_cell:
+            from .decoder_fast import make_scanned_cell_fast as make_cell
+        else:
+            make_cell = dec.make_scanned_cell
         if train:
-            cell = dec.make_scanned_cell(self.cfg, 'train',
-                                         remat=hp.remat_decoder,
-                                         unroll=hp.scan_unroll)
+            cell = make_cell(self.cfg, 'train', remat=hp.remat_decoder,
+                             unroll=hp.scan_unroll)
             xs = {'target_prev': dec.teacher_inputs(mel_targets, r)}
             tfr = jnp.asarray(tf_ratio, jnp.float32)
         else:
-            cell = dec.make_scanned_cell(self.cfg, 'infer')
+            cell = make_cell(self.cfg, 'infer')
             steps = max_iters or hp.max_iters
             xs = {'target_prev': jnp.zeros((steps, b, au.n_mel))}
             tfr = jnp.asarray(0.0)

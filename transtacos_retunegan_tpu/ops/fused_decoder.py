@@ -67,8 +67,15 @@ class FoldedParams(NamedTuple):
     bs: jnp.ndarray      # [r]
 
 
-def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams:
-    """Pack the flax ``decoder_cell`` param tree into kernel operands."""
+def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16,
+                r: int = 0) -> FoldedParams:
+    """Pack a flax ``decoder_cell`` param tree into kernel operands.
+
+    Accepts BOTH cell layouts: the stock ``decoder.DecoderCell`` tree and
+    the fused ``decoder_fast.DecoderCellFast`` tree (whose on-disk layout
+    already matches these operands).  ``r`` (outputs_per_step) is required
+    only for the fused layout, to split the combined frame|stop head.
+    """
     p = cell_params
 
     # prenet layers are dense_1..dense_n (models/layers.py::Prenet)
@@ -79,6 +86,9 @@ def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams
         for i in range(n_prenet))
 
     def gru_pack(g):
+        if 'wi' in g:                      # fused layout: already packed
+            return (g['wi'].astype(dtype), g['bi'], g['wh'].astype(dtype),
+                    g['bn'])
         wi = jnp.concatenate([g['ir']['kernel'], g['iz']['kernel'],
                               g['in']['kernel']], axis=1)
         bi = jnp.concatenate([g['ir']['bias'], g['iz']['bias'],
@@ -93,8 +103,31 @@ def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams
     wx = p['rnn_in_proj']['kernel']
     prenet_out = prenet[-1][0].shape[1]
     lsa = p['lsa']
-    wf = p['frame_projection']['kernel']
-    ws = p['stop_projection']['kernel']
+    if 'loc_conv' in lsa:                  # fused layout: conv pre-folded
+        loc = lsa['loc_conv']['kernel'][:, 0, :]
+        ba = lsa['attention_bias'] + lsa['loc_conv']['bias']
+    else:
+        loc = fold_location_params(lsa['location_convolution']['kernel'],
+                                   lsa['location_layer']['kernel'])
+        # the location conv's bias is a constant additive term on the
+        # pre-tanh energy: Dense(conv(x) + b_c) == conv'(x) + b_c @ W, so it
+        # folds into the attention bias (dropping it would silently shift
+        # the energies of a TRAINED checkpoint; zero-init tests can't see it)
+        ba = (lsa['attention_bias']
+              + lsa['location_convolution']['bias'] @ lsa['location_layer']['kernel'])
+    if 'out_projection' in p:              # fused layout: combined head
+        if not r:
+            raise ValueError('fused cell layout requires r (outputs_per_step)')
+        k_out = p['out_projection']['kernel']
+        b_out = p['out_projection']['bias']
+        rm = b_out.shape[0] - r
+        wf, ws = k_out[:, :rm], k_out[:, rm:]
+        bf, bs = b_out[:rm], b_out[rm:]
+    else:
+        wf = p['frame_projection']['kernel']
+        ws = p['stop_projection']['kernel']
+        bf = p['frame_projection']['bias']
+        bs = p['stop_projection']['bias']
     h = grus[0][0].shape[0]
 
     return FoldedParams(
@@ -104,16 +137,15 @@ def fold_params(cell_params: Dict[str, Any], dtype=jnp.bfloat16) -> FoldedParams
         bx=p['rnn_in_proj']['bias'],
         grus=grus,
         wq=lsa['query_layer']['kernel'].astype(dtype),
-        loc=fold_location_params(lsa['location_convolution']['kernel'],
-                                 lsa['location_layer']['kernel']).astype(jnp.float32),
+        loc=loc.astype(jnp.float32),
         v=lsa['attention_variable'].astype(jnp.float32),
-        ba=lsa['attention_bias'],
+        ba=ba,
         wf_r=wf[:h].astype(dtype),
         wf_c=wf[h:].astype(dtype),
-        bf=p['frame_projection']['bias'],
+        bf=bf,
         ws_r=ws[:h].astype(dtype),
         ws_c=ws[h:].astype(dtype),
-        bs=p['stop_projection']['bias'],
+        bs=bs,
     )
 
 
@@ -319,7 +351,7 @@ def fused_decode(cell_params: Dict[str, Any], cfg: Config,
     hp = cfg.acoustic
     au = cfg.audio
     b, n = mask.shape
-    fp = fold_params(cell_params, dtype=dtype)
+    fp = fold_params(cell_params, dtype=dtype, r=hp.outputs_per_step)
 
     def step(carry, _):
         hs, ctx, cum, prev, fin = carry
@@ -518,7 +550,7 @@ def fused_decode_full(cell_params: Dict[str, Any], cfg: Config,
     au = cfg.audio
     b, n = mask.shape
     d = values.shape[-1]
-    fp = fold_params(cell_params, dtype=dtype)
+    fp = fold_params(cell_params, dtype=dtype, r=hp.outputs_per_step)
     n_gru = len(fp.grus)
     h = hp.decoder_depth
     rm = fp.bf.shape[0]
