@@ -95,6 +95,11 @@ def main():
                    help='pallas interpret mode (CPU smoke of this script; '
                         'the committed artifact must come from a real TPU '
                         'run, interpret=False)')
+    p.add_argument('--ckpt', default=None,
+                   help='acoustic run dir: use the latest checkpoint\'s '
+                        'TRAINED decoder_cell params instead of random init '
+                        '(trained biases are nonzero, so this also proves '
+                        'the fold_params bias handling on-device)')
     args = p.parse_args()
 
     cfg = Config()                                  # DEFAULT dims
@@ -114,6 +119,15 @@ def main():
     xs = {'target_prev': jnp.zeros((steps, b, cfg.audio.n_mel))}
     params = cell.init({'params': jax.random.PRNGKey(0)},
                        (carry, attn, jnp.asarray(0.0)), xs)['params']
+    params_from = 'random init'
+    if args.ckpt:
+        from ..train import checkpoint as ckpt
+        path = ckpt.scan_checkpoint(args.ckpt, 'ckpt_')
+        if path is None:
+            raise SystemExit(f'no ckpt_* under {args.ckpt}')
+        tree = ckpt.restore_tree_np(path)
+        params = jax.tree.map(jnp.asarray, tree['params']['decoder_cell'])
+        params_from = path
 
     print(f'# device: {jax.devices()[0]}', flush=True)
     ref = run_flax(cfg, params, attn, steps, b)
@@ -153,6 +167,7 @@ def main():
         'device': str(jax.devices()[0]),
         'platform': jax.devices()[0].platform,
         'interpret': args.interpret,
+        'params_from': params_from,
         'config': 'DEFAULT dims',
         'shapes': {'batch': b, 'n_text': n, 'steps': steps,
                    'frames': steps * cfg.acoustic.outputs_per_step},

@@ -44,6 +44,24 @@ def restore_tree(path: str, template: Optional[Any] = None) -> Any:
     return _checkpointer().restore(os.path.abspath(path))
 
 
+def restore_tree_np(path: str) -> Any:
+    """Restore a checkpoint as host numpy arrays, no template needed.
+
+    A template-less ``restore_tree`` re-creates the arrays on the devices
+    they were SAVED from, which fails when inspecting a TPU-trained
+    checkpoint from a CPU process (tools, converters, tests).  This restores
+    every leaf as ``np.ndarray`` regardless of origin.
+    """
+    import jax
+    import numpy as np
+    cp = ocp.PyTreeCheckpointer()
+    item = cp.metadata(os.path.abspath(path)).item_metadata
+    tree = item.tree if hasattr(item, 'tree') else item
+    args = jax.tree.map(lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+                        tree)
+    return cp.restore(os.path.abspath(path), restore_args=args)
+
+
 def scan_checkpoint(dirpath: str, prefix: str) -> Optional[str]:
     """Newest checkpoint dir matching ``prefix*`` (sorted order)."""
     if not os.path.isdir(dirpath):
