@@ -74,3 +74,59 @@ def test_fused_layout_param_count_matches():
     assert jax.tree.structure(fresh) == jax.tree.structure(fp)
     assert all(a.shape == b.shape for a, b in
                zip(jax.tree.leaves(fresh), jax.tree.leaves(fp)))
+
+
+def test_convert_acoustic_run_round_trip(tmp_path):
+    """convert_acoustic_cell turns a stock run dir into a fast_cell run dir
+    whose restored model produces the same teacher-forced forward."""
+    import dataclasses
+    import sys
+
+    from transtacos_retunegan_tpu.models.acoustic import Tacotron
+    from transtacos_retunegan_tpu.tools import acoustic_step_ab as ab
+    from transtacos_retunegan_tpu.tools import convert_acoustic_cell as conv
+    from transtacos_retunegan_tpu.train import checkpoint as ckpt
+    from transtacos_retunegan_tpu.train.acoustic_step import init_state
+
+    cfg = dataclasses.replace(
+        Config(), acoustic=dataclasses.replace(
+            Config().acoustic, embed_depth=32, encoder_depth=32,
+            decoder_depth=64, attention_depth=16, prenet_depths=(32,),
+            posnet_depth=64, var_embed_depth=16, var_prednet_depth=16,
+            prdsnet_depth=16, posenc_depth=8))
+    batch = ab.make_batch(cfg, b=2, n_txt=12, t=20)
+    state = init_state(cfg, jax.random.PRNGKey(4), batch)
+    state = state._replace(step=jnp.asarray(17, jnp.int32))
+
+    stock_run = str(tmp_path / 'stock')
+    cfg.save(stock_run)
+    ckpt.save_tree(f'{stock_run}/ckpt_{17:08d}', state)
+
+    fast_run = str(tmp_path / 'fast')
+    old_argv = sys.argv
+    sys.argv = ['x', '--run_dir', stock_run, '--out_dir', fast_run]
+    try:
+        conv.main()
+    finally:
+        sys.argv = old_argv
+
+    fcfg = Config.load(fast_run)
+    assert fcfg.acoustic.fast_cell
+    fstate = init_state(fcfg, jax.random.PRNGKey(5), batch)
+    restored = ckpt.restore_acoustic(fast_run, fstate)
+    assert restored is not None and int(restored.step) == 17
+
+    def fwd(c, p):
+        rngs = {'noise': jax.random.PRNGKey(1),
+                'dropout': jax.random.PRNGKey(2), 'tf': jax.random.PRNGKey(3)}
+        return Tacotron(c).apply(
+            {'params': p}, batch['text'], batch['text_lengths'],
+            batch['prds'], batch['spec_lengths'], batch['mel_targets'],
+            batch['f0_targets'], batch['c0_targets'], jnp.asarray(1.0),
+            train=True, rngs=rngs)
+
+    out_s = fwd(cfg, state.params)
+    out_f = fwd(fcfg, restored.params)
+    for k in ('mel_outputs', 'mag_outputs', 'stop_token_outputs'):
+        np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_f[k]),
+                                   atol=3e-5, rtol=1e-4, err_msg=k)
