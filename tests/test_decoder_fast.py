@@ -130,3 +130,95 @@ def test_convert_acoustic_run_round_trip(tmp_path):
     for k in ('mel_outputs', 'mag_outputs', 'stop_token_outputs'):
         np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_f[k]),
                                    atol=3e-5, rtol=1e-4, err_msg=k)
+
+
+class TestHoistedForceDecode:
+    def _cfg(self):
+        import dataclasses
+        return dataclasses.replace(
+            Config(), acoustic=dataclasses.replace(
+                Config().acoustic, tf_method='force'))
+
+    def _no_dropout(self, monkeypatch):
+        import flax.linen as fnn
+        monkeypatch.setattr(fnn.Dropout, '__call__',
+                            lambda self, x, **kw: x)
+
+    def _stock(self, cfg, sp, attn, mel_targets, steps, b):
+        xs = {'target_prev': dec.teacher_inputs(mel_targets,
+                                                cfg.acoustic.outputs_per_step)}
+        cell = dec.make_scanned_cell(cfg, 'train')
+        carry = dec.init_carry(b, attn.mask.shape[-1], cfg)
+        rngs = {'dropout': jax.random.PRNGKey(2), 'tf': jax.random.PRNGKey(3)}
+        (_, _, _), ys = cell.apply({'params': sp},
+                                   (carry, attn, jnp.asarray(1.0)), xs,
+                                   rngs=rngs)
+        r = cfg.acoustic.outputs_per_step
+        mel = ys['frames'].transpose(1, 0, 2).reshape(b, steps * r,
+                                                      cfg.audio.n_mel)
+        stop = ys['stop'].transpose(1, 0, 2).reshape(b, steps * r)
+        return mel, stop, ys['alignments'].transpose(1, 2, 0)
+
+    def test_outputs_match_scan(self, monkeypatch):
+        self._no_dropout(monkeypatch)
+        cfg = self._cfg()
+        steps, b, n = 7, 2, 11
+        rng = np.random.RandomState(1)
+        enc = jnp.asarray(rng.randn(b, n, cfg.acoustic.encoder_depth)
+                          .astype(np.float32))
+        keys = enc @ jnp.asarray(
+            rng.randn(cfg.acoustic.encoder_depth,
+                      cfg.acoustic.attention_depth).astype(np.float32) * .05)
+        attn = dec.prepare_attention(enc, jnp.asarray([n, n - 3]), keys)
+        mel_targets = jnp.asarray(
+            rng.randn(b, steps * cfg.acoustic.outputs_per_step,
+                      cfg.audio.n_mel).astype(np.float32))
+        carry = dec.init_carry(b, n, cfg)
+        xs = {'target_prev': dec.teacher_inputs(
+            mel_targets, cfg.acoustic.outputs_per_step)}
+        sp = dec.make_scanned_cell(cfg, 'train').init(
+            {'params': jax.random.PRNGKey(0),
+             'dropout': jax.random.PRNGKey(2), 'tf': jax.random.PRNGKey(3)},
+            (carry, attn, jnp.asarray(1.0)), xs)['params']
+        # trained-like nonzero biases (the class of weight folds can drop)
+        lsa = dict(sp['lsa'])
+        lc = dict(lsa['location_convolution'])
+        lc['bias'] = jnp.asarray(rng.randn(*lc['bias'].shape)
+                                 .astype(np.float32) * 0.1)
+        lsa['location_convolution'] = lc
+        sp = dict(sp, lsa=lsa)
+
+        mel_s, stop_s, align_s = self._stock(cfg, sp, attn, mel_targets,
+                                             steps, b)
+        mel_h, stop_h, align_h = fast.hoisted_force_decode(
+            sp, cfg, mel_targets, attn.keys, attn.values, attn.mask)
+        np.testing.assert_allclose(np.asarray(mel_h), np.asarray(mel_s),
+                                   atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(stop_h), np.asarray(stop_s),
+                                   atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(align_h), np.asarray(align_s),
+                                   atol=3e-5, rtol=1e-4)
+
+        # gradients through both paths agree.  Loss must be SMOOTH: an L1
+        # would flip sign() on near-zero mel elements that differ by ~3e-5
+        # between the two (equivalent) forwards, exploding the grad diff.
+        def loss_stock(p):
+            m_, s_, _ = self._stock(cfg, p, attn, mel_targets, steps, b)
+            return jnp.mean(jnp.square(m_)) + jnp.mean(jnp.square(s_))
+
+        def loss_hoist(p):
+            m_, s_, _ = fast.hoisted_force_decode(
+                p, cfg, mel_targets, attn.keys, attn.values, attn.mask)
+            return jnp.mean(jnp.square(m_)) + jnp.mean(jnp.square(s_))
+
+        g_s = jax.grad(loss_stock)(sp)
+        g_h = jax.grad(loss_hoist)(sp)
+        flat_s = jax.tree_util.tree_flatten_with_path(g_s)[0]
+        flat_h = {jax.tree_util.keystr(k): v for k, v
+                  in jax.tree_util.tree_flatten_with_path(g_h)[0]}
+        for k, v in flat_s:
+            ks = jax.tree_util.keystr(k)
+            scale = max(1.0, float(np.abs(np.asarray(v)).max()))
+            np.testing.assert_allclose(
+                np.asarray(flat_h[ks]) / scale, np.asarray(v) / scale,
+                atol=5e-4, err_msg=ks)

@@ -185,6 +185,105 @@ def make_scanned_cell_fast(cfg: Config, mode: str, remat: bool = False,
     return scanned(cfg, mode, name='decoder_cell')
 
 
+def hoisted_force_decode(cell_params: Dict[str, Any], cfg: Config,
+                         mel_targets: jnp.ndarray, keys: jnp.ndarray,
+                         values: jnp.ndarray, mask: jnp.ndarray,
+                         dropout_rng: jnp.ndarray = None):
+    """Teacher-forced TRAINING decode with the time-parallel work hoisted out
+    of the scan.
+
+    When the decoder input does not depend on the previous prediction —
+    ``tf_method='force'``, or ``mix``/``random`` while ``tf_ratio == 1.0``
+    (the ENTIRE pre-decay regime, reference ``custom_decoder.py:124-151``:
+    cosine decay only starts at ``tf_start_decay``) — the per-step inputs are
+    pure ground truth, so:
+
+      * the prenet runs as ONE batched matmul over all steps ([S*B, .] rows
+        instead of [B, .] per step — MXU-shaped), including its half of the
+        input-feed projection;
+      * the frame/stop head runs as ONE batched matmul after the scan;
+      * only the recurrent core (input-feed context proj, GRU tower, LSA,
+        context) stays sequential.
+
+    Math is the stock cell's exactly; the prenet dropout masks come from a
+    different rng stream (batched instead of per-step folds) — identical
+    distribution, not bit-identical.  Emits what the train path consumes:
+    mel [B, S*r, M], raw stop logits [B, S*r], alignments [B, N, S].
+
+    Weights are consumed via ``ops.fused_decoder.fold_params`` (f32), so
+    both cell layouts work.
+    """
+    from ..ops.fused_decoder import fold_params
+    hp = cfg.acoustic
+    r = hp.outputs_per_step
+    fp = fold_params(cell_params, dtype=jnp.float32, r=r)
+
+    x_in = dec.teacher_inputs(mel_targets, r)              # [S, B, M]
+    s, b, m = x_in.shape
+    n = mask.shape[-1]
+
+    # ---- batched prenet (dropout always on in train: reference
+    # ``modules.py:13-21``) + the prenet half of the input-feed projection
+    act = x_in.reshape(s * b, m)
+    drops = (jax.random.split(dropout_rng, len(fp.prenet))
+             if dropout_rng is not None else [None] * len(fp.prenet))
+    for (w, bias), drng in zip(fp.prenet, drops):
+        # jax.nn.relu, NOT jnp.maximum: their subgradients at exactly 0
+        # differ (0 vs 0.5), and the <GO> zeros frame with zero-init biases
+        # hits the tie on every element, skewing prenet gradients
+        act = jax.nn.relu(act @ w + bias)
+        if drng is not None:
+            keep = jax.random.bernoulli(drng, 0.5, act.shape)
+            act = jnp.where(keep, act / 0.5, 0.0)
+    xp = (act @ fp.wx_p + fp.bx).reshape(s, b, -1)         # [S, B, H]
+
+    # ---- sequential core
+    loc_k = fp.loc.T[:, None, :]                           # [A, 1, 31] OIW
+
+    def core(carry, xp_t):
+        hs, ctx, cum = carry
+        x = xp_t + ctx @ fp.wx_c
+        h_news = []
+        for j, (wi, bi, wh, bhn) in enumerate(fp.grus):
+            hdim = hs[j].shape[-1]
+            gi = x @ wi + bi
+            gh = hs[j] @ wh
+            rr = jax.nn.sigmoid(gi[:, :hdim] + gh[:, :hdim])
+            z = jax.nn.sigmoid(gi[:, hdim:2 * hdim] + gh[:, hdim:2 * hdim])
+            nn_ = jnp.tanh(gi[:, 2 * hdim:] + rr * (gh[:, 2 * hdim:] + bhn))
+            h_new = (1.0 - z) * nn_ + z * hs[j]
+            h_news.append(h_new)
+            x = h_new + x                                   # ResidualWrapper
+        rnn = x
+        q = rnn @ fp.wq
+        loc = jax.lax.conv_general_dilated(
+            cum[:, None, :], loc_k, (1,), 'SAME',
+            dimension_numbers=('NCH', 'OIH', 'NCH')).transpose(0, 2, 1)
+        energy = jnp.squeeze(
+            jnp.tanh(keys + q[:, None, :] + loc + fp.ba) @ fp.v, -1)
+        energy = jnp.where(mask > 0, energy, -jnp.inf)
+        align = jax.nn.softmax(energy, axis=-1)
+        ctx_new = jnp.einsum('bn,bnd->bd', align, values)
+        return ((tuple(h_news), ctx_new, cum + align),
+                (rnn, ctx_new, align))
+
+    if hp.remat_decoder:
+        core = jax.checkpoint(core, prevent_cse=False)
+    h0 = tuple(jnp.zeros((b, hp.decoder_depth)) for _ in fp.grus)
+    carry0 = (h0, jnp.zeros((b, values.shape[-1])), jnp.zeros((b, n)))
+    _, (rnn_s, ctx_s, align_s) = jax.lax.scan(core, carry0, xp,
+                                              unroll=hp.scan_unroll)
+
+    # ---- batched output head
+    frames = rnn_s @ fp.wf_r + ctx_s @ fp.wf_c + fp.bf     # [S, B, r*M]
+    stop = rnn_s @ fp.ws_r + ctx_s @ fp.ws_c + fp.bs       # [S, B, r]
+    n_mel = cfg.audio.n_mel
+    mel_out = frames.transpose(1, 0, 2).reshape(b, s * r, n_mel)
+    stop_out = stop.transpose(1, 0, 2).reshape(b, s * r)
+    alignments = align_s.transpose(1, 2, 0)                # [B, N, S]
+    return mel_out, stop_out, alignments
+
+
 def fuse_cell_params(stock: Dict[str, Any]) -> Dict[str, Any]:
     """Map a stock ``decoder_cell`` param tree onto the fused layout.
 
