@@ -127,19 +127,29 @@ def _bench_train_steps(cfg):
         'text_loss_len': jnp.asarray(n_txt, jnp.int32),
     }
     astate = init_state(cfg, jax.random.PRNGKey(5), ab)
-    astate, al = train_step(cfg, astate, ab, jax.random.PRNGKey(6))
-    float(al['loss'])
-    for i in range(6):                           # steady-state warmup
-        astate, al = train_step(cfg, astate, ab, jax.random.PRNGKey(i))
-    float(al['loss'])
-    t0 = time.perf_counter()
-    for i in range(n):
-        astate, al = train_step(cfg, astate, ab, jax.random.PRNGKey(i))
-    float(al['loss'])
-    ac_s = (time.perf_counter() - t0) / n
+
+    def _time_step(step_fn, astate):
+        astate, al = step_fn(cfg, astate, ab, jax.random.PRNGKey(6))
+        float(al['loss'])
+        for i in range(6):                       # steady-state warmup
+            astate, al = step_fn(cfg, astate, ab, jax.random.PRNGKey(i))
+        float(al['loss'])
+        t0 = time.perf_counter()
+        for i in range(n):
+            astate, al = step_fn(cfg, astate, ab, jax.random.PRNGKey(i))
+        float(al['loss'])
+        return (time.perf_counter() - t0) / n, astate
+
+    # the production pre-decay step (train_acoustic switches on
+    # hoist_force_eligible; same function, time-parallel prenet/head)
+    from transtacos_retunegan_tpu.train.acoustic_step import (
+        hoist_force_eligible, train_step_hoisted)
+    assert hoist_force_eligible(cfg, 0)
+    ac_hoist_s, astate = _time_step(train_step_hoisted, astate)
+    ac_s, astate = _time_step(train_step, astate)
     ac_flops = _compiled_flops(train_step, cfg, astate, ab,
                                jax.random.PRNGKey(0))
-    return ac_s, gan_s, ac_flops, gan_flops
+    return ac_s, ac_hoist_s, gan_s, ac_flops, gan_flops
 
 
 def main():
@@ -342,7 +352,8 @@ def main():
 
     del mags, mag, wav, w
     t0 = time.time()
-    ac_step_s, gan_step_s, ac_flops, gan_flops = _bench_train_steps(cfg)
+    (ac_step_s, ac_hoist_s, gan_step_s,
+     ac_flops, gan_flops) = _bench_train_steps(cfg)
     print(f'# train-step bench {time.time() - t0:.1f}s', file=sys.stderr)
 
     rtf = (t_ac + t_vo) / audio_seconds
@@ -368,7 +379,10 @@ def main():
             'fused_pallas_decoder': use_fused,
             'vocoder_infer_dtype': infer_dtype,
             'vocoder_s_f32': round(t_vo_f32, 4) if t_vo_f32 else None,
-            'acoustic_step_ms': round(ac_step_s * 1000, 1),
+            # the production pre-decay step (hoisted prenet/head); the
+            # stock scan step is what post-decay training runs
+            'acoustic_step_ms': round(ac_hoist_s * 1000, 1),
+            'acoustic_step_scan_ms': round(ac_step_s * 1000, 1),
             'gan_step_ms': round(gan_step_s * 1000, 1),
             'gan_step_vs_ref_2.36': round(2.36 / gan_step_s, 1),
             # utilization accounting (XLA cost model FLOPs / wall / peak);
@@ -376,7 +390,8 @@ def main():
             # MFU is expected to be low -- it contextualizes, not indicts
             'mfu': {
                 'peak_flops_assumed': _peak_flops(),
-                'acoustic_step_pct': _mfu(ac_flops, ac_step_s),
+                'acoustic_step_pct': _mfu(ac_flops, ac_hoist_s),
+                'acoustic_step_scan_pct': _mfu(ac_flops, ac_step_s),
                 'gan_step_pct': _mfu(gan_flops, gan_step_s),
                 'acoustic_infer_pct': _mfu(ac_infer_flops, t_ac),
                 'vocoder_infer_pct': _mfu(vo_infer_flops, t_vo),

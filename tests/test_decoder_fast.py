@@ -222,3 +222,50 @@ class TestHoistedForceDecode:
             np.testing.assert_allclose(
                 np.asarray(flat_h[ks]) / scale, np.asarray(v) / scale,
                 atol=5e-4, err_msg=ks)
+
+
+def test_train_step_hoisted_matches_standard(monkeypatch):
+    """One optimizer step via train_step_hoisted == train_step (dropout
+    neutralized; pre-decay regime so both are the same function)."""
+    import dataclasses
+
+    import flax.linen as fnn
+    monkeypatch.setattr(fnn.Dropout, '__call__', lambda self, x, **kw: x)
+    # the hoisted path's prenet dropout is manual (not flax.Dropout):
+    # neutralize it the same way so both steps are deterministic
+    orig_decode = fast.hoisted_force_decode
+    monkeypatch.setattr(
+        fast, 'hoisted_force_decode',
+        lambda *a, **kw: orig_decode(*a, **{**kw, 'dropout_rng': None}))
+    from transtacos_retunegan_tpu.tools import acoustic_step_ab as ab
+    from transtacos_retunegan_tpu.train.acoustic_step import (
+        hoist_force_eligible, init_state, train_step, train_step_hoisted)
+
+    cfg = dataclasses.replace(
+        Config(), acoustic=dataclasses.replace(
+            Config().acoustic, embed_depth=32, encoder_depth=32,
+            decoder_depth=64, attention_depth=16, prenet_depths=(32,),
+            posnet_depth=64, var_embed_depth=16, var_prednet_depth=16,
+            prdsnet_depth=16, posenc_depth=8))
+    assert hoist_force_eligible(cfg, 0)
+    assert not hoist_force_eligible(cfg, cfg.acoustic.tf_start_decay)
+
+    batch = ab.make_batch(cfg, b=2, n_txt=12, t=20)
+    state = init_state(cfg, jax.random.PRNGKey(4), batch)
+    copy = jax.tree.map(jnp.copy, state)
+    rng = jax.random.PRNGKey(11)
+
+    s1, l1 = train_step(cfg, state, batch, rng)
+    s2, l2 = train_step_hoisted(cfg, copy, batch, rng)
+
+    np.testing.assert_allclose(float(l1['loss']), float(l2['loss']),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(l1['grad_norm']),
+                               float(l2['grad_norm']), rtol=1e-3)
+    flat1 = jax.tree_util.tree_flatten_with_path(s1.params)[0]
+    flat2 = {jax.tree_util.keystr(k): v for k, v
+             in jax.tree_util.tree_flatten_with_path(s2.params)[0]}
+    for k, v in flat1:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(flat2[ks]), np.asarray(v),
+                                   atol=5e-4, err_msg=ks)

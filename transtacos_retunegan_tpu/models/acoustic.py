@@ -113,10 +113,20 @@ class Tacotron(nn.Module):
         attn_p = dec.prepare_attention(enc_out, text_lengths, keys)
         if encoder_only:
             # serving fast path: the fused pallas decoder (ops/fused_decoder)
-            # consumes these directly with the same 'decoder_cell' params
-            return {'keys': attn_p.keys, 'values': attn_p.values,
-                    'mask': attn_p.mask, 'prds_out': prds_out,
-                    'prds_prob': prds_prob}
+            # consumes these directly with the same 'decoder_cell' params.
+            # In train mode (hoisted-force step, train/acoustic_step.py) the
+            # loss-side aux comes along too.
+            out = {'keys': attn_p.keys, 'values': attn_p.values,
+                   'mask': attn_p.mask, 'prds_out': prds_out,
+                   'prds_prob': prds_prob}
+            if train:
+                (f0_r, f0_r_pred), (c0_r, c0_r_pred) = fuse
+                out.update({
+                    'E_text_sim': cosine_similarity_matrix(e_text),
+                    'E_tone_sim': e_tone_sim, 'E_prds_sim': e_prds_sim,
+                    'f0_r': f0_r, 'f0_r_pred': f0_r_pred,
+                    'c0_r': c0_r, 'c0_r_pred': c0_r_pred})
+            return out
         carry = dec.init_carry(b, n, self.cfg)
         if hp.fast_cell:
             from .decoder_fast import make_scanned_cell_fast as make_cell

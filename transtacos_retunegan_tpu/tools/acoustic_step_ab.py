@@ -60,9 +60,12 @@ def make_batch(cfg, b=16, n_txt=32, t=400):
     }
 
 
-def time_step(cfg, batch, n_warm=7, n=10, n_trial=3):
+def time_step(cfg, batch, n_warm=7, n=10, n_trial=3, step_fn=None,
+              state=None):
     from ..train.acoustic_step import init_state, train_step
-    state = init_state(cfg, jax.random.PRNGKey(5), batch)
+    train_step = step_fn or train_step
+    if state is None:
+        state = init_state(cfg, jax.random.PRNGKey(5), batch)
     state, losses = train_step(cfg, state, batch, jax.random.PRNGKey(0))
     float(losses['loss'])                       # compile + materialize
     for i in range(n_warm):

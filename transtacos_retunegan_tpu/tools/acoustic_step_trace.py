@@ -102,6 +102,12 @@ def main():
     # time_step rebinds the state each call (train_step donates it)
     step_s, state = time_step(cfg, batch)
     res['full_train_step'] = step_s * 1000.0
+
+    # production pre-decay step: hoisted prenet/head (decoder_fast.py)
+    from ..train.acoustic_step import train_step_hoisted
+    hoist_s, state = time_step(cfg, batch, step_fn=train_step_hoisted,
+                               state=state)
+    res['full_train_step_hoisted'] = hoist_s * 1000.0
     mutable = list(state.extra_vars.keys())
     rngs = {'noise': jax.random.PRNGKey(1), 'dropout': jax.random.PRNGKey(2),
             'tf': jax.random.PRNGKey(3)}
@@ -227,6 +233,8 @@ def main():
             'fast_cell_scan_speedup': round(
                 res['decode_scan_fwd_bwd'] / res['decode_scan_fast_fwd_bwd'],
                 3),
+            'hoisted_step_speedup': round(
+                res['full_train_step'] / res['full_train_step_hoisted'], 3),
         },
     }
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)

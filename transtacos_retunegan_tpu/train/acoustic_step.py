@@ -95,6 +95,72 @@ def train_step(cfg: Config, state: TrainState, batch: Dict[str, Any],
     return TrainState(state.step + 1, params, opt_state, new_extra), losses
 
 
+def hoist_force_eligible(cfg: Config, step: int) -> bool:
+    """True while the hoisted-force train step computes the SAME function as
+    the standard one: decoder inputs are pure ground truth.  ``force`` always
+    is; ``mix``/``random`` are while the cosine TF decay has not engaged
+    (tf_ratio == 1.0: mix blends with weight 0, random's coin < 1.0 always).
+    The sew layer is the one decoder-adjacent module the hoisted path does
+    not implement.
+    """
+    hp = cfg.acoustic
+    if hp.decoder_sew_layer:
+        return False
+    if hp.tf_method == 'force':
+        return True
+    return hp.tf_init >= 1.0 and step < hp.tf_start_decay
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def train_step_hoisted(cfg: Config, state: TrainState, batch: Dict[str, Any],
+                       rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """``train_step`` with the decode's time-parallel work hoisted out of the
+    scan (``models/decoder_fast.py::hoisted_force_decode``).  Same function
+    as ``train_step`` whenever ``hoist_force_eligible`` — the train CLI
+    switches at the decay boundary (dropout masks come from a different rng
+    stream; distribution-identical).
+    """
+    from ..models.acoustic import posnet_apply
+    from ..models.decoder_fast import hoisted_force_decode
+    model = Tacotron(cfg)
+    rngs = {'noise': jax.random.fold_in(rng, 1),
+            'dropout': jax.random.fold_in(rng, 2),
+            'tf': jax.random.fold_in(rng, 3)}
+    dec_rng = jax.random.fold_in(rng, 4)
+
+    mutable = list(state.extra_vars.keys())
+
+    def loss_fn(params):
+        enc = model.apply({'params': params, **state.extra_vars},
+                          batch['text'],
+                          batch['text_lengths'], batch['prds'],
+                          batch['spec_lengths'], batch['mel_targets'],
+                          batch['f0_targets'], batch['c0_targets'],
+                          jnp.asarray(1.0), train=True, encoder_only=True,
+                          rngs=rngs, mutable=mutable if mutable else False)
+        if mutable:
+            enc, new_extra = enc
+        else:
+            new_extra = state.extra_vars
+        mel_out, stop_out, alignments = hoisted_force_decode(
+            params['decoder_cell'], cfg, batch['mel_targets'],
+            enc['keys'], enc['values'], enc['mask'], dropout_rng=dec_rng)
+        out = dict(enc, mel_outputs=mel_out, stop_token_outputs=stop_out,
+                   mag_outputs=posnet_apply(params, mel_out, cfg),
+                   alignments=alignments)
+        losses = compute_losses(out, batch, cfg, params)
+        return losses['loss'], (losses, new_extra)
+
+    grads, (losses, new_extra) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = make_optimizer(cfg).update(grads, state.opt_state,
+                                                    state.params)
+    params = optax.apply_updates(state.params, updates)
+    gnorm = optax.global_norm(grads)
+    losses = dict(losses, grad_norm=gnorm, tfr=jnp.asarray(1.0),
+                  learning_rate=noam_lr(state.step, cfg.acoustic))
+    return TrainState(state.step + 1, params, opt_state, new_extra), losses
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def summary_stats(cfg: Config, state: TrainState, batch: Dict[str, Any],
                   rng: jax.Array) -> Dict[str, Any]:

@@ -27,7 +27,8 @@ from ..data.feeder import AcousticDataset, DataFeeder
 from ..utils.logging import ValueWindow, get_logger, host_rss_gb
 from ..utils.plotting import plot_alignment, plot_specs
 from . import checkpoint as ckpt
-from .acoustic_step import TrainState, init_state, train_step
+from .acoustic_step import (TrainState, hoist_force_eligible, init_state,
+                            train_step, train_step_hoisted)
 
 
 def train(args) -> None:
@@ -123,7 +124,14 @@ def train(args) -> None:
         if mesh is not None:
             batch = shard_batch(mesh, batch)
         rng, sub = jax.random.split(rng)
-        state, losses = train_step(cfg, state, batch, sub)
+        # hoisted-force step while decoder inputs are pure ground truth
+        # (identical function, time-parallel prenet/head; the host-side
+        # schedule check costs nothing and switches programs exactly at the
+        # TF-decay boundary)
+        if hoist_force_eligible(cfg, step):
+            state, losses = train_step_hoisted(cfg, state, batch, sub)
+        else:
+            state, losses = train_step(cfg, state, batch, sub)
         step += 1
         # async device-side max: catches TRANSIENT spikes between log points
         # without forcing a per-step host sync (NaN propagates through max)
