@@ -140,11 +140,52 @@ def eval_teacher_forced(cfg: Config, data_dir: str, ac_run: str) -> dict:
         return compute_losses(out, batch, cfg, params), out['prds_out']
 
     losses, prds_out = tf_losses(state.params, state.extra_vars, batch)
+
+    # Per-ITEM masked losses alongside the reference-semantics ones.  The
+    # reference masks every loss up to the BATCH max frame length
+    # (`frame_loss_len` is a scalar, data.py:172-226 padding contract) — fine
+    # for length-homogeneous training buckets, but this eval batch holds the
+    # whole test split padded to the global max, so a 4-syllable item
+    # contributes hundreds of pad-tail frames (stop target 1.0, spec pad min)
+    # that bucketed training never exercises.  The *_item metrics mask each
+    # row to its own round_up(len+1, r) and measure in-distribution quality.
+    @jax.jit
+    def tf_item_losses(params, extra_vars, batch):
+        out = model.apply({'params': params, **extra_vars},
+                          batch['text'], batch['text_lengths'], batch['prds'],
+                          batch['spec_lengths'], batch['mel_targets'],
+                          batch['f0_targets'], batch['c0_targets'], 1.0,
+                          train=True, mutable=mutable if mutable else False,
+                          rngs={'noise': jax.random.PRNGKey(0),
+                                'dropout': jax.random.PRNGKey(1),
+                                'tf': jax.random.PRNGKey(2)})
+        if mutable:
+            out, _ = out
+        import jax.numpy as jnp
+        r = cfg.acoustic.outputs_per_step
+        t_pad = out['mel_outputs'].shape[1]
+        per_len = -(-(batch['spec_lengths'] + 1) // r) * r        # [B]
+        fmask = (jnp.arange(t_pad)[None, :] < per_len[:, None]).astype(jnp.float32)
+        def mmean(x):
+            return jnp.sum(jnp.mean(x, axis=-1) * fmask if x.ndim == 3
+                           else x * fmask) / jnp.maximum(fmask.sum(), 1.0)
+        logits = out['stop_token_outputs']
+        labels = batch['stop_token_targets']
+        ce = (jnp.maximum(logits, 0) - logits * labels
+              + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        return {'mel_l1': mmean(jnp.abs(batch['mel_targets'] - out['mel_outputs'])),
+                'mag_l1': mmean(jnp.abs(batch['mag_targets'] - out['mag_outputs'])),
+                'stop_ce': mmean(ce)}
+
+    item = tf_item_losses(state.params, state.extra_vars, batch)
     # NOTE reference name swap: 'mel_loss' is the LINEAR-spec L1,
     # 'mag_loss' the mel L1 (acoustic_step.compute_losses docstring)
     res = {'held_out_mel_l1': float(losses['mag_loss']),
            'held_out_mag_l1': float(losses['mel_loss']),
            'held_out_stop_ce': float(losses['stop_token_loss']),
+           'held_out_mel_l1_item': float(item['mel_l1']),
+           'held_out_mag_l1_item': float(item['mag_l1']),
+           'held_out_stop_ce_item': float(item['stop_ce']),
            'n_test_items': len(dataset)}
     if prds_out is not None:
         from ..eval.metrics import prds_accuracy
@@ -441,9 +482,20 @@ def _write_report(args, cfg, steps, loss, mel, stop,
             f"Teacher-forced on the {tf.get('n_test_items', '?')}-utterance "
             'test split:',
             '',
-            f"* mel L1 **{tf.get('held_out_mel_l1', float('nan')):.4f}**, "
+            f"* per-item masks: mel L1 "
+            f"**{tf.get('held_out_mel_l1_item', float('nan')):.4f}**, "
+            f"linear-spec L1 {tf.get('held_out_mag_l1_item', float('nan')):.4f}, "
+            f"stop CE {tf.get('held_out_stop_ce_item', float('nan')):.4f}",
+            f"* reference batch-max masks: mel L1 "
+            f"{tf.get('held_out_mel_l1', float('nan')):.4f}, "
             f"linear-spec L1 {tf.get('held_out_mag_l1', float('nan')):.4f}, "
             f"stop CE {tf.get('held_out_stop_ce', float('nan')):.4f}",
+            '',
+            'The reference masks losses to the BATCH-max frame length, so this',
+            'whole-split eval batch charges short items for hundreds of',
+            'out-of-distribution pad-tail frames that length-homogeneous',
+            'training buckets never exercise — the per-item numbers are the',
+            'in-distribution quality signal (`eval_teacher_forced` docstring).',
             '',
             'Free-running synthesis of held-out texts through `Synthesizer`',
             '(alignment metrics per `eval/metrics.py::alignment_diagonality`;',
