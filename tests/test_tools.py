@@ -211,6 +211,70 @@ class TestAlignmentDiagonality:
         assert alignment_diagonality(a)['mass_coverage'] == pytest.approx(3 / 4)
 
 
+class TestItemMaskedLosses:
+    def test_excludes_pad_tail_the_batch_max_mask_charges(self):
+        """Per-item masks stop at each row's round_up(len+1, r); the
+        reference batch-max mask (compute_losses) charges short rows for the
+        whole batch tail.  Poison the short row's tail and only the batch-max
+        numbers may move."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from transtacos_retunegan_tpu.config import Config
+        from transtacos_retunegan_tpu.tools.convergence_session import (
+            item_masked_losses)
+
+        cfg = Config()
+        r = cfg.acoustic.outputs_per_step
+        b, t_pad, m = 2, 8 * r, 3
+        spec_lengths = jnp.asarray([2 * r - 1, 8 * r - 1])  # short, long row
+        batch = {
+            'spec_lengths': spec_lengths,
+            'mel_targets': jnp.zeros((b, t_pad, m)),
+            'mag_targets': jnp.zeros((b, t_pad, m)),
+            'stop_token_targets': jnp.ones((b, t_pad)),
+        }
+        out = {
+            'mel_outputs': jnp.zeros((b, t_pad, m)),
+            'mag_outputs': jnp.zeros((b, t_pad, m)),
+            'stop_token_outputs': jnp.full((b, t_pad), 50.0),  # stop CE ~ 0
+        }
+        clean = item_masked_losses(out, batch, cfg)
+        assert clean['mel_l1'] == pytest.approx(0.0, abs=1e-6)
+        assert clean['stop_ce'] == pytest.approx(0.0, abs=1e-6)
+
+        # poison the short row BEYOND its per-item mask (rows 2r..t_pad)
+        out_bad = {
+            'mel_outputs': out['mel_outputs'].at[0, 2 * r:].set(7.0),
+            'mag_outputs': out['mag_outputs'],
+            'stop_token_outputs': out['stop_token_outputs']
+                .at[0, 2 * r:].set(-50.0),
+        }
+        poisoned = item_masked_losses(out_bad, batch, cfg)
+        assert poisoned['mel_l1'] == pytest.approx(float(clean['mel_l1']),
+                                                   abs=1e-6)
+        assert poisoned['stop_ce'] == pytest.approx(float(clean['stop_ce']),
+                                                    abs=1e-6)
+
+        # the batch-max mask sees the poison (this is the 6k-vs-20k artifact)
+        from transtacos_retunegan_tpu.models.acoustic import compute_losses
+        full = dict(batch, frame_loss_len=jnp.asarray(t_pad),
+                    text_loss_len=jnp.asarray(1),
+                    text=jnp.zeros((b, 1, 2), jnp.int32),
+                    prds=jnp.zeros((b, 1), jnp.int32))
+        out_cl = dict(out_bad, E_text_sim=jnp.zeros((4, 4)),
+                      E_prds_sim=jnp.zeros((cfg.audio.n_prds,
+                                            cfg.audio.n_prds)),
+                      prds_prob=jnp.zeros((b, 1, cfg.audio.n_prds)))
+        hp = dataclasses.replace(cfg.acoustic, encoder_type='cbhg',
+                                 encoder_fusenet=False)
+        losses = compute_losses(out_cl, full, dataclasses.replace(
+            cfg, acoustic=hp), {})
+        assert float(losses['mag_loss']) > 1.0        # mel L1 (swapped name)
+        assert float(losses['stop_token_loss']) > 10.0
+
+
 class TestAdviceFixes:
     def test_pesq_proxy_short_signal_continuous(self):
         """<2 frames: nearly-identical clips must score near 4.5, not 1.0."""

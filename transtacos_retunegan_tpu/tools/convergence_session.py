@@ -101,6 +101,35 @@ def held_out_texts(data_dir: str):
 # trained-checkpoint evaluation
 # ---------------------------------------------------------------------------
 
+def item_masked_losses(out: dict, batch: dict, cfg: Config) -> dict:
+    """Held-out losses masked per ITEM instead of per batch.
+
+    ``compute_losses`` keeps the reference's batch-max mask
+    (``frame_loss_len`` is a scalar, reference ``data.py:172-226``): fine for
+    length-homogeneous training buckets, but a whole-split eval batch charges
+    short items for hundreds of out-of-distribution pad-tail frames (stop
+    target 1.0, spec pad min) that bucketed training never exercises.  Here
+    each row is masked to its own ``round_up(len + 1, r)``.
+    """
+    import jax.numpy as jnp
+    r = cfg.acoustic.outputs_per_step
+    t_pad = out['mel_outputs'].shape[1]
+    per_len = -(-(batch['spec_lengths'] + 1) // r) * r            # [B]
+    fmask = (jnp.arange(t_pad)[None, :] < per_len[:, None]).astype(jnp.float32)
+
+    def mmean(x):
+        per_frame = jnp.mean(x, axis=-1) if x.ndim == 3 else x
+        return jnp.sum(per_frame * fmask) / jnp.maximum(fmask.sum(), 1.0)
+
+    logits = out['stop_token_outputs']
+    labels = batch['stop_token_targets']
+    ce = (jnp.maximum(logits, 0) - logits * labels
+          + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return {'mel_l1': mmean(jnp.abs(batch['mel_targets'] - out['mel_outputs'])),
+            'mag_l1': mmean(jnp.abs(batch['mag_targets'] - out['mag_outputs'])),
+            'stop_ce': mmean(ce)}
+
+
 def eval_teacher_forced(cfg: Config, data_dir: str, ac_run: str) -> dict:
     """Held-out teacher-forced losses through the trained checkpoint."""
     import jax
@@ -141,14 +170,8 @@ def eval_teacher_forced(cfg: Config, data_dir: str, ac_run: str) -> dict:
 
     losses, prds_out = tf_losses(state.params, state.extra_vars, batch)
 
-    # Per-ITEM masked losses alongside the reference-semantics ones.  The
-    # reference masks every loss up to the BATCH max frame length
-    # (`frame_loss_len` is a scalar, data.py:172-226 padding contract) — fine
-    # for length-homogeneous training buckets, but this eval batch holds the
-    # whole test split padded to the global max, so a 4-syllable item
-    # contributes hundreds of pad-tail frames (stop target 1.0, spec pad min)
-    # that bucketed training never exercises.  The *_item metrics mask each
-    # row to its own round_up(len+1, r) and measure in-distribution quality.
+    # Per-ITEM masked losses alongside the reference-semantics ones (see
+    # ``item_masked_losses``): the in-distribution quality signal.
     @jax.jit
     def tf_item_losses(params, extra_vars, batch):
         out = model.apply({'params': params, **extra_vars},
@@ -161,21 +184,7 @@ def eval_teacher_forced(cfg: Config, data_dir: str, ac_run: str) -> dict:
                                 'tf': jax.random.PRNGKey(2)})
         if mutable:
             out, _ = out
-        import jax.numpy as jnp
-        r = cfg.acoustic.outputs_per_step
-        t_pad = out['mel_outputs'].shape[1]
-        per_len = -(-(batch['spec_lengths'] + 1) // r) * r        # [B]
-        fmask = (jnp.arange(t_pad)[None, :] < per_len[:, None]).astype(jnp.float32)
-        def mmean(x):
-            return jnp.sum(jnp.mean(x, axis=-1) * fmask if x.ndim == 3
-                           else x * fmask) / jnp.maximum(fmask.sum(), 1.0)
-        logits = out['stop_token_outputs']
-        labels = batch['stop_token_targets']
-        ce = (jnp.maximum(logits, 0) - logits * labels
-              + jnp.log1p(jnp.exp(-jnp.abs(logits))))
-        return {'mel_l1': mmean(jnp.abs(batch['mel_targets'] - out['mel_outputs'])),
-                'mag_l1': mmean(jnp.abs(batch['mag_targets'] - out['mag_outputs'])),
-                'stop_ce': mmean(ce)}
+        return item_masked_losses(out, batch, cfg)
 
     item = tf_item_losses(state.params, state.extra_vars, batch)
     # NOTE reference name swap: 'mel_loss' is the LINEAR-spec L1,
