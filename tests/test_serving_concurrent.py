@@ -155,6 +155,28 @@ class TestBatchingFrontendParity:
         for b, s in zip(batch, singles):
             np.testing.assert_allclose(b, s, atol=1e-4)
 
+    def test_tts_batch_multi_clause_matches_tts(self, synth):
+        """A kanji text long enough to clause-split must take the same
+        per-clause synthesize-then-concatenate path through /synth_batch
+        as through /synth (regression: tts_batch used to join all clauses
+        into ONE utterance, changing padding and therefore the audio)."""
+        from transtacos_retunegan_tpu.text import frontend
+        table = {'你': 'ni3', '好': 'hao3'}
+        orig = synth.kanji2pinyin
+        synth.kanji2pinyin = lambda s: ' '.join(table.get(ch, ch) for ch in s)
+        try:
+            # 12-char runs between break puncts; clause packing (max 20)
+            # cannot merge two, so this splits into 3 clauses
+            text = ('你好' * 6 + '，') * 3
+            assert len(frontend.normalize_text(text)) > 1
+            fe = BatchingFrontend(synth, max_batch=4, window_s=0.05)
+            batch_wav = fe.tts_batch([text])[0]
+            single_wav = fe.tts(text)
+            assert batch_wav.shape == single_wav.shape
+            np.testing.assert_allclose(batch_wav, single_wav, atol=1e-4)
+        finally:
+            synth.kanji2pinyin = orig
+
 
 class TestHTTPConcurrent:
     @pytest.fixture(scope='class')

@@ -184,19 +184,27 @@ class BatchingFrontend:
         coalesced /synth outputs identical for identical payloads."""
         if not neural:
             return self.synth.tts_batch(texts, neural=False)
-        pinyins = []
+        # per-text clause lists, exactly like ``tts`` (kanji splits into
+        # clauses, each synthesized separately and concatenated): a text
+        # POSTed to /synth_batch must yield the same audio as /synth
+        clause_lists = []
         for t in texts:
             if frontend.looks_like_pinyin(t):
-                pinyins.append(t.strip().lower())
+                clause_lists.append([t.strip().lower()])
             else:
                 segs = frontend.normalize_text(t)
-                pinyins.append(' '.join(self.synth.kanji2pinyin(s)
-                                        for s in segs))
-        spec_futs = [self._ac.submit(self._text_bucket(p), p)
-                     for p in pinyins]
-        specs = [np.asarray(f.result(), np.float32) for f in spec_futs]
+                clause_lists.append([self.synth.kanji2pinyin(s)
+                                     for s in segs])
+        spec_futs = [[self._ac.submit(self._text_bucket(p), p) for p in cl]
+                     for cl in clause_lists]
+        specs = []
+        for futs in spec_futs:
+            parts = [np.asarray(f.result(), np.float32) for f in futs]
+            specs.append(parts[0] if len(parts) == 1
+                         else np.concatenate(parts, axis=1))
         wav_futs = [
-            self._vo.submit(self._frame_bucket(s),
-                            (s, self.synth.content_key(p.encode('utf-8'))))
-            for p, s in zip(pinyins, specs)]
+            self._vo.submit(
+                self._frame_bucket(s),
+                (s, self.synth.content_key(' '.join(cl).encode('utf-8'))))
+            for cl, s in zip(clause_lists, specs)]
         return [f.result() for f in wav_futs]
