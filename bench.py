@@ -356,6 +356,26 @@ def main():
      ac_flops, gan_flops) = _bench_train_steps(cfg)
     print(f'# train-step bench {time.time() - t0:.1f}s', file=sys.stderr)
 
+    # (4) peak per-chip training throughput at bs64.  Both train steps are
+    # dispatch/latency bound at the reference's bs16 (the GPU-memory point,
+    # retunegan/hparam.py:45-56); the production number on a TPU is the
+    # largest batch that fits (docs/train_scaling.json: 2.85x acoustic
+    # samples/s, 1.4x GAN at bs64).  Reuses the scaling study's helpers so
+    # bench and study report the same program.
+    peak = None
+    if os.environ.get('BENCH_SKIP_SCALING', '') != '1':
+        try:
+            from transtacos_retunegan_tpu.tools.train_scaling import (
+                bench_acoustic as _peak_ac, bench_gan as _peak_gan)
+            t0 = time.time()
+            peak = {'batch': 64,
+                    'acoustic': _peak_ac(cfg, 64, 400, 32),
+                    'gan': _peak_gan(cfg, 64)}
+            print(f'# peak-throughput bench {time.time() - t0:.1f}s',
+                  file=sys.stderr)
+        except Exception as e:
+            print(f'# peak-throughput leg skipped: {e!r}', file=sys.stderr)
+
     rtf = (t_ac + t_vo) / audio_seconds
     result = {
         'metric': 'e2e_rtf',
@@ -385,6 +405,8 @@ def main():
             'acoustic_step_scan_ms': round(ac_step_s * 1000, 1),
             'gan_step_ms': round(gan_step_s * 1000, 1),
             'gan_step_vs_ref_2.36': round(2.36 / gan_step_s, 1),
+            # largest-batch-that-fits throughput (see comment at the leg)
+            'peak_bs64': peak,
             # utilization accounting (XLA cost model FLOPs / wall / peak);
             # the AR decode is latency- not FLOP-bound, so acoustic-infer
             # MFU is expected to be low -- it contextualizes, not indicts

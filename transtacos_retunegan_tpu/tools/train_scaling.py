@@ -137,10 +137,21 @@ def main():
     p.add_argument('--out', default='docs/train_scaling.json')
     p.add_argument('--tiny', action='store_true', default=False,
                    help='tiny dims/geometry (CPU smoke of this script)')
+    p.add_argument('--compute_dtype', default='float32',
+                   choices=['float32', 'bfloat16'],
+                   help='vocoder conv precision for the GAN legs.  bf16 was '
+                        'measured 1.06x at bs16 (dispatch-bound, '
+                        'docs/PERF_NOTES.md); at bs64 the step is '
+                        'compute-bound, where halving MXU pass width should '
+                        'actually pay')
+    p.add_argument('--gan_only', action='store_true', default=False)
     args = p.parse_args()
     batches = [int(x) for x in args.batches.split(',')]
 
     cfg = Config()
+    if args.compute_dtype != 'float32':
+        cfg = dataclasses.replace(cfg, vocoder=dataclasses.replace(
+            cfg.vocoder, compute_dtype=args.compute_dtype))
     t, n_txt = 400, 32
     if args.tiny:
         cfg = dataclasses.replace(
@@ -160,24 +171,27 @@ def main():
               'acoustic_geometry': f'T{t} x N{n_txt} (hoisted-force step)',
               'gan_geometry': f'segment {cfg.audio.segment_size}, '
                               'D x2 + G reference recipe',
+              'gan_compute_dtype': cfg.vocoder.compute_dtype,
               'acoustic': {}, 'gan': {}}
-    for b in batches:
-        result['acoustic'][str(b)] = r = bench_acoustic(cfg, b, t, n_txt)
-        print(f'# acoustic bs{b}: {r}', flush=True)
+    if not args.gan_only:
+        for b in batches:
+            result['acoustic'][str(b)] = r = bench_acoustic(cfg, b, t, n_txt)
+            print(f'# acoustic bs{b}: {r}', flush=True)
     for b in batches:
         result['gan'][str(b)] = r = bench_gan(cfg, b)
         print(f'# gan bs{b}: {r}', flush=True)
 
-    base_a = result['acoustic'][str(batches[0])]['samples_per_s']
     base_g = result['gan'][str(batches[0])]['samples_per_s']
     result['derived'] = {
-        'acoustic_speedup_vs_bs16_per_sample': {
-            str(b): round(result['acoustic'][str(b)]['samples_per_s'] / base_a,
-                          2) for b in batches},
         'gan_speedup_vs_bs16_per_sample': {
             str(b): round(result['gan'][str(b)]['samples_per_s'] / base_g, 2)
             for b in batches},
     }
+    if not args.gan_only:
+        base_a = result['acoustic'][str(batches[0])]['samples_per_s']
+        result['derived']['acoustic_speedup_vs_bs16_per_sample'] = {
+            str(b): round(result['acoustic'][str(b)]['samples_per_s'] / base_a,
+                          2) for b in batches}
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
     with open(args.out, 'w') as fh:
         json.dump(result, fh, indent=2)
