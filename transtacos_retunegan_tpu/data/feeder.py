@@ -255,3 +255,105 @@ class DataFeeder(threading.Thread):
                 self.q.get_nowait()
         except queue.Empty:
             pass
+
+
+class DevicePrefetcher:
+    """Overlap host->device batch transfers with the running train step.
+
+    On a remote-attached TPU backend the jit dispatch path transfers each
+    host numpy argument with a blocking round trip: measured on this
+    image's axon tunnel, the 11-array acoustic batch costs ~0.4-0.5 s per
+    step while the device step itself is ~10 ms (docs/PERF_NOTES.md,
+    round 4).  This wrapper pulls host batches from a ``DataFeeder``-like
+    source on a side thread and issues the WHOLE batch as one async
+    ``jax.device_put`` tree -- every transfer in flight together
+    (~0.03 s measured) and overlapped with the step running on device --
+    so the training loop's dispatch never blocks on the wire.
+
+    ``wire_dtype`` ('float16' or 'bfloat16') additionally narrows float32
+    feature arrays on the host before transfer: half the bytes on the
+    wire AND half of this tunnel's per-transfer host-memory retention.
+    The jitted steps upcast on device (``acoustic_step`` casts 16-bit
+    floats back to float32 at entry), so only the stored precision of the
+    TARGETS changes (~1e-3 relative on mel/mag), never the math dtype.
+    Default (None/'float32') transfers bit-exact batches.
+
+    The reference has no analogue: its feeder thread fills a host-side
+    ``tf.FIFOQueue`` only (``transtacos/data.py:20-100``).
+    """
+
+    def __init__(self, source, depth: int = 2,
+                 wire_dtype: Optional[str] = None, device=None):
+        import jax                         # lazy: host-only tests stay jax-free
+        self._jax = jax
+        self.source = source
+        self.device = device if device is not None else jax.devices()[0]
+        if wire_dtype in (None, '', 'float32'):
+            self._wire = None
+        elif wire_dtype == 'float16':
+            self._wire = np.float16
+        elif wire_dtype == 'bfloat16':
+            import ml_dtypes               # ships with jax
+            self._wire = ml_dtypes.bfloat16
+        else:
+            raise ValueError(f'unsupported wire_dtype {wire_dtype!r}')
+        self.q: 'queue.Queue' = queue.Queue(max(1, int(depth)))
+        self._stop_evt = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+
+    # -- transfer ----------------------------------------------------------
+    def _cast(self, v):
+        if self._wire is not None and getattr(v, 'dtype', None) == np.float32:
+            return np.asarray(v, dtype=self._wire)
+        return v
+
+    def put_device(self, batch: Dict[str, np.ndarray]):
+        """Async device_put of one host batch (also used by callers that
+        already hold a batch, e.g. the init batch in the train CLI)."""
+        jax = self._jax
+        return jax.tree.map(
+            lambda v: jax.device_put(self._cast(v), self.device), batch)
+
+    # -- thread body --------------------------------------------------------
+    def _run(self):
+        try:
+            while not self._stop_evt.is_set():
+                try:
+                    batch = self.source.get_batch(timeout=5.0)
+                except queue.Empty:
+                    continue               # source idle; re-check stop flag
+                out = self.put_device(batch)
+                while not self._stop_evt.is_set():
+                    try:
+                        self.q.put(out, timeout=0.5)
+                        break
+                    except queue.Full:
+                        pass
+        except BaseException as e:         # propagate to the consumer
+            self._error = e
+
+    # -- consumer API (mirrors DataFeeder) ----------------------------------
+    def get_batch(self, timeout: float = 300.0):
+        deadline = _time.monotonic() + timeout
+        while True:
+            if self._error is not None:
+                raise RuntimeError('DevicePrefetcher failed') from self._error
+            try:
+                return self.q.get(timeout=min(1.0, max(
+                    0.01, deadline - _time.monotonic())))
+            except queue.Empty:
+                if _time.monotonic() >= deadline:
+                    raise
+
+    def stop(self):
+        self._stop_evt.set()
+        self.source.stop()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass

@@ -36,6 +36,16 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
+def _upcast_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore float32 for features that crossed host->device in a 16-bit
+    wire dtype (``data/feeder.py::DevicePrefetcher``).  Inside jit the cast
+    fuses into the first consumer, so loss math stays float32 at zero cost;
+    full-precision batches pass through untouched."""
+    return {k: v.astype(jnp.float32)
+            if getattr(v, 'dtype', None) in (jnp.float16, jnp.bfloat16)
+            else v for k, v in batch.items()}
+
+
 def init_state(cfg: Config, rng: jax.Array, batch: Dict[str, Any]) -> TrainState:
     model = Tacotron(cfg)
 
@@ -62,6 +72,7 @@ def init_state(cfg: Config, rng: jax.Array, batch: Dict[str, Any]) -> TrainState
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def train_step(cfg: Config, state: TrainState, batch: Dict[str, Any],
                rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    batch = _upcast_batch(batch)
     model = Tacotron(cfg)
     tfr = teacher_forcing_ratio(state.step, cfg.acoustic)
     rngs = {'noise': jax.random.fold_in(rng, 1),
@@ -122,6 +133,7 @@ def train_step_hoisted(cfg: Config, state: TrainState, batch: Dict[str, Any],
     """
     from ..models.acoustic import posnet_apply
     from ..models.decoder_fast import hoisted_force_decode
+    batch = _upcast_batch(batch)
     model = Tacotron(cfg)
     rngs = {'noise': jax.random.fold_in(rng, 1),
             'dropout': jax.random.fold_in(rng, 2),
@@ -172,6 +184,7 @@ def summary_stats(cfg: Config, state: TrainState, batch: Dict[str, Any],
     A separate jitted program (NOT folded into ``train_step``) so the hot
     path pays nothing: this runs only at ``--summary_interval``.
     """
+    batch = _upcast_batch(batch)
     model = Tacotron(cfg)
     tfr = teacher_forcing_ratio(state.step, cfg.acoustic)
     rngs = {'noise': jax.random.fold_in(rng, 1),

@@ -58,6 +58,7 @@ def train(args) -> None:
     logger.info(f'dataset: {len(dataset)} examples')
     feeder = DataFeeder(dataset, cfg)
     feeder.start()
+    pump = feeder                 # swapped for a DevicePrefetcher below
 
     rng = jax.random.PRNGKey(cfg.audio.randseed)
     first = feeder.get_batch()
@@ -96,6 +97,22 @@ def train(args) -> None:
         logger.info(f'mesh: {dict(mesh.shape)} '
                     f'({dp}-way DP x {mesh.shape["model"]}-way TP)')
 
+    # Single-device path: pipeline host->device transfers behind the running
+    # step (DevicePrefetcher docstring has the measured numbers: the jit
+    # dispatch otherwise pays ~0.4-0.5 s/step of blocking per-array
+    # transfers on this image's remote tunnel).  The mesh path keeps its
+    # shard_batch assembly.
+    prefetch = getattr(args, 'prefetch', 2)
+    if mesh is None and prefetch > 0:
+        from ..data.feeder import DevicePrefetcher
+        pump = DevicePrefetcher(feeder, depth=prefetch,
+                                wire_dtype=getattr(args, 'wire_dtype', None))
+        first = pump.put_device(first)
+        pump.start()
+        if pump._wire is not None:
+            logger.info(f'prefetch depth {prefetch}, wire dtype '
+                        f'{np.dtype(pump._wire).name}')
+
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     max_steps = args.max_steps or cfg.acoustic.max_steps
 
@@ -119,7 +136,7 @@ def train(args) -> None:
             jax.profiler.stop_trace()
             profiling = False
             logger.info(f'wrote profiler trace to {args.profile_dir}')
-        batch = first if first is not None else feeder.get_batch()
+        batch = first if first is not None else pump.get_batch()
         first = None
         if mesh is not None:
             batch = shard_batch(mesh, batch)
@@ -158,7 +175,7 @@ def train(args) -> None:
             if lmax > 300 or not np.isfinite(lmax):
                 logger.error(f'loss exploded to {lmax} within the last '
                              f'{args.log_interval} steps (step {step}), aborting')
-                feeder.stop()
+                pump.stop()
                 raise SystemExit(1)
             # host-memory guard: remote backends can leak host RAM per
             # host->device transfer (the axon tunnel retains every batch
@@ -171,7 +188,7 @@ def train(args) -> None:
                     f'host RSS {host_rss_gb():.1f} GiB over --rss_limit_gb '
                     f'{rss_limit}; checkpointed to {path}, exiting 75 for '
                     f'resume')
-                feeder.stop()
+                pump.stop()
                 raise SystemExit(75)
 
         if sw is not None and step % args.summary_interval == 0:
@@ -185,11 +202,11 @@ def train(args) -> None:
             sw.add_histogram('mel_outputs',
                              np.asarray(stats['mel_outputs']), step)
             sw.add_histogram('mel_targets',
-                             np.asarray(batch['mel_targets']), step)
+                             _np_f32(batch['mel_targets']), step)
             sw.add_histogram('mag_outputs',
                              np.asarray(stats['mag_outputs']), step)
             sw.add_histogram('mag_targets',
-                             np.asarray(batch['mag_targets']), step)
+                             _np_f32(batch['mag_targets']), step)
             gn = np.asarray([float(g) for g in
                              jax.tree.leaves(stats['grad_norms'])], np.float32)
             sw.add_histogram('gradient_norm', gn, step)
@@ -206,8 +223,18 @@ def train(args) -> None:
             _dump_eval(cfg, state, batch, args.log_path, step, logger, sw)
             last_t = time.time()                     # exclude eval dump time
 
-    feeder.stop()
+    pump.stop()
     logger.info(f'training complete at step {step}')
+
+
+def _np_f32(v) -> np.ndarray:
+    """Host numpy view of a (possibly 16-bit-wire, possibly on-device)
+    batch array, widened to float32 for plotting/TB/DSP consumers that
+    don't accept bfloat16 numpy."""
+    a = np.asarray(v)
+    if a.dtype != np.float32 and a.dtype.kind in ('f', 'V'):
+        a = a.astype(np.float32)
+    return a
 
 
 def format_decode_dump(cfg, batch, out) -> list:
@@ -240,6 +267,9 @@ def _dump_eval(cfg, state: TrainState, batch, log_path, step, logger, sw):
     from ..audio import features as F
     from ..models.acoustic import Tacotron
 
+    # widen any 16-bit-wire arrays (DevicePrefetcher) back to float32 on the
+    # host: this eval path mixes batch arrays into numpy DSP and plotting
+    batch = {k: _np_f32(v) for k, v in batch.items()}
     model = Tacotron(cfg)
     mutable = list(state.extra_vars.keys())
     out = model.apply({'params': state.params, **state.extra_vars},
@@ -320,6 +350,17 @@ def main():
                         'batch transfer (~batch bytes per step, '
                         'docs/PERF_NOTES.md), so unbounded runs OOM the '
                         'host.  0 = off.')
+    p.add_argument('--prefetch', type=int, default=2,
+                   help='async host->device batch pipeline depth (single-'
+                        'device path; 0 disables).  See '
+                        'data/feeder.py::DevicePrefetcher')
+    p.add_argument('--wire_dtype', default=None,
+                   choices=['float32', 'float16', 'bfloat16'],
+                   help='narrow float32 feature arrays to 16 bits for the '
+                        'host->device transfer (targets quantize ~1e-3 '
+                        'relative; math stays float32 on device).  Halves '
+                        'wire bytes and the remote tunnel host-memory '
+                        'retention per step')
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--profile_dir', default=None)
     p.add_argument('--profile_start', type=int, default=20)
