@@ -135,6 +135,79 @@ def test_melgan_transplant(ref_gen, cfg):
     _assert_close(out_j[..., 0], out_t[:, 0, :], what='MelGAN out')
 
 
+# (map name, torch class, flax class) for every (mel, tmpl) -> wav variant.
+# The Retune family's dual-branch fuse with learnable alpha and the template
+# down-branches (reference ``generator.py:262-340,799-898``) are the places a
+# sign/pad slip survives shape tests -- transplant parity pins them exactly.
+MEL_TMPL_VARIANTS = [
+    ('RetuneCNN', 'Generator_RetuneCNN', 'GeneratorRetuneCNN'),
+    ('HiFiGAN_mini', 'Generator_HiFiGAN_mini', 'GeneratorHiFiGANMini'),
+    ('HiFiGAN_micro', 'Generator_HiFiGAN_micro', 'GeneratorHiFiGANMicro'),
+    ('HiFiGAN_mu', 'Generator_HiFiGAN_mu', 'GeneratorHiFiGANMu'),
+    ('MelGANRetune', 'Generator_MelGANRetune', 'GeneratorMelGANRetune'),
+    ('HiFiGANRetune', 'Generator_HiFiGANRetune', 'GeneratorHiFiGANRetune'),
+    ('RefineGAN', 'Generator_RefineGAN', 'GeneratorRefineGAN'),
+]
+
+
+@pytest.mark.parametrize('ver,tcls,fcls', MEL_TMPL_VARIANTS)
+def test_generator_variant_transplant(ref_gen, cfg, ver, tcls, fcls):
+    _seed(hash(ver) % 1000)
+    tg = getattr(ref_gen, tcls)().eval()
+    sd = _zero_noise(tg.state_dict())
+    tg.load_state_dict(sd)
+
+    frames = 13
+    hop = cfg.audio.hop_length
+    mel_t = torch.randn(2, 80, frames)
+    tmpl_t = torch.rand(2, 1, frames * hop) * 2 - 1
+    with torch.no_grad():
+        out_t = tg(mel_t, tmpl_t).numpy()
+
+    params = interop.import_generator_state_dict(sd, ver)
+    fg = getattr(G, fcls)(cfg)
+    out_j = fg.apply({'params': params},
+                     jnp.asarray(mel_t.numpy().transpose(0, 2, 1)),
+                     jnp.asarray(tmpl_t.numpy().transpose(0, 2, 1)),
+                     train=False)
+    _assert_close(out_j[..., 0], out_t[:, 0, :], tol=2e-4,
+                  what=f'{ver} out')
+
+
+@pytest.mark.parametrize('ver,tcls,fcls', [
+    ('MelGANSplit', 'Generator_MelGANSplit', 'GeneratorMelGANSplit'),
+    ('HiFiGANSplit', 'Generator_HiFiGANSplit', 'GeneratorHiFiGANSplit'),
+])
+def test_split_variant_transplant(ref_gen, cfg, ver, tcls, fcls):
+    """u/v masked-sum + conjunction-refine parity (reference
+    ``generator.py:343-386,901-942``): both sub-generators, the mask
+    combination, and the refine tail transplant exactly."""
+    _seed(hash(ver) % 1000)
+    tg = getattr(ref_gen, tcls)().eval()
+    sd = tg.state_dict()
+
+    frames = 9
+    hop = cfg.audio.hop_length
+    mel_c = torch.randn(2, 80, frames)
+    mel_v = torch.randn(2, 80, frames)
+    tmpl = torch.rand(2, 1, frames * hop) * 2 - 1
+    uv = (torch.rand(2, frames * hop) > 0.5).float()
+    with torch.no_grad():
+        out_t = tg(mel_c, mel_v, tmpl, tmpl, uv).numpy()
+
+    params = interop.import_generator_state_dict(sd, ver)
+    fg = getattr(G, fcls)(cfg)
+    out_j = fg.apply({'params': params},
+                     jnp.asarray(mel_c.numpy().transpose(0, 2, 1)),
+                     jnp.asarray(mel_v.numpy().transpose(0, 2, 1)),
+                     jnp.asarray(tmpl.numpy().transpose(0, 2, 1)),
+                     jnp.asarray(tmpl.numpy().transpose(0, 2, 1)),
+                     jnp.asarray(uv.numpy()[..., None]),
+                     train=False)
+    _assert_close(out_j[..., 0], out_t[:, 0, :], tol=2e-4,
+                  what=f'{ver} out')
+
+
 @pytest.mark.parametrize('samples', [8192, 4000])
 def test_discriminator_s_transplant(ref_disc, samples):
     _seed(samples)

@@ -313,10 +313,11 @@ class DevicePrefetcher:
 
     def put_device(self, batch: Dict[str, np.ndarray]):
         """Async device_put of one host batch (also used by callers that
-        already hold a batch, e.g. the init batch in the train CLI)."""
+        already hold a batch, e.g. the init batch in the train CLI).  One
+        ``jax.device_put`` over the whole tree so the runtime can batch
+        the per-leaf transfers."""
         jax = self._jax
-        return jax.tree.map(
-            lambda v: jax.device_put(self._cast(v), self.device), batch)
+        return jax.device_put(jax.tree.map(self._cast, batch), self.device)
 
     # -- thread body --------------------------------------------------------
     def _run(self):

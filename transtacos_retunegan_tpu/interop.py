@@ -174,6 +174,18 @@ def map_hifigan_mini(n_ups: int = 3) -> List[MapEntry]:
     return m
 
 
+def _melgan_block_map(flax_prefix: str, torch_prefix: str,
+                      resize: str = 'u') -> List[MapEntry]:
+    """MelGAN ResidualBlock (reference ``generator.py:79-107``): ``pre``
+    (ConvTranspose1d for 'u', strided Conv1d for 'd') + ``res_stack``."""
+    pre_name = 'WNConvTranspose_0' if resize == 'u' else 'WNConv_0'
+    m: List[MapEntry] = [(f'{flax_prefix}/{pre_name}', f'{torch_prefix}.pre',
+                          CT1 if resize == 'u' else C1)]
+    m += _residual_stack_map(f'{flax_prefix}/ResidualStack_0',
+                             f'{torch_prefix}.res_stack')
+    return m
+
+
 def map_melgan(use_post: bool = True, prefix: str = '') -> List[MapEntry]:
     """Generator_MelGAN (reference ``generator.py:232-259``): ``pre`` +
     4 ResidualBlocks (``res_blocks.{i}.pre`` + ``.res_stack``) + ``post``."""
@@ -190,11 +202,135 @@ def map_melgan(use_post: bool = True, prefix: str = '') -> List[MapEntry]:
     return m
 
 
+def map_melgan_retune() -> List[MapEntry]:
+    """Generator_MelGANRetune (reference ``generator.py:262-340``): mel
+    branch (pre_x + 2 up blocks), template branch (pre_y + 2 down blocks),
+    learnable-alpha concat fuse, joint decoder (2 up blocks) + post."""
+    m: List[MapEntry] = [('WNConv_0', 'pre_x', C1)]
+    for i in range(2):
+        m += _melgan_block_map(f'ResidualBlock_{i}', f'ups_x.{i}', 'u')
+    m.append(('WNConv_1', 'pre_y', C1))
+    for i in range(2):
+        m += _melgan_block_map(f'ResidualBlock_{i + 2}', f'downs_y.{i}', 'd')
+    m.append(('alpha', 'alpha', RAW))
+    for i in range(2):
+        m += _melgan_block_map(f'ResidualBlock_{i + 4}', f'ups_z.{i}', 'u')
+    m.append(('WNConv_2', 'post', C1))
+    return m
+
+
+def map_melgan_split() -> List[MapEntry]:
+    """Generator_MelGANSplit (reference ``generator.py:343-386``): two
+    post-less MelGANs (consonant/vowel), u/v masked sum, conjunction-refine
+    conv + ResidualStack + post."""
+    m = map_melgan(use_post=False, prefix='g_c')
+    m += map_melgan(use_post=False, prefix='g_v')
+    m.append(('WNConv_0', 'conv', C1))
+    m += _residual_stack_map('ResidualStack_0', 'res_stack')
+    m.append(('WNConv_1', 'post', C1))
+    return m
+
+
+def map_hifigan_retune() -> List[MapEntry]:
+    """Generator_HiFiGANRetune (reference ``generator.py:799-898``): HiFiGAN
+    mel branch (2 up stages x 3-kernel MRF), template down branch
+    (2 strided convs + ResBlock_full), alpha concat fuse, joint decoder
+    (2 up stages x MRF) + post."""
+    m: List[MapEntry] = [('WNConv_0', 'pre_x', C1)]
+    for i in range(2):
+        m.append((f'WNConvTranspose_{i}', f'ups_x.{i}', CT1))
+        for j in range(3):
+            m += _resblock_map(f'x_rb_{i}_{j}', f'resblocks_x.{i * 3 + j}', 2)
+    m.append(('WNConv_1', 'pre_y', C1))
+    for i in range(2):
+        m.append((f'WNConv_{i + 2}', f'downs_y.{i}', C1))
+        m += _resblock_full_map(f'y_rb_{i}', f'resblock_y.{i}')
+    m.append(('alpha', 'alpha', RAW))
+    for i in range(2):
+        m.append((f'WNConvTranspose_{i + 2}', f'ups_z.{i}', CT1))
+        for j in range(3):
+            m += _resblock_map(f'z_rb_{i}_{j}', f'resblocks_z.{i * 3 + j}', 2)
+    m.append(('WNConv_4', 'post', C1))
+    return m
+
+
+def map_hifigan_split() -> List[MapEntry]:
+    """Generator_HiFiGANSplit (reference ``generator.py:901-942``): two
+    post-less HiFiGANs, u/v masked sum, refine conv + post."""
+    m = map_hifigan(use_post=False, prefix='g_c')
+    m += map_hifigan(use_post=False, prefix='g_v')
+    m.append(('WNConv_0', 'conv', C1))
+    m.append(('WNConv_1', 'post', C1))
+    return m
+
+
+def map_retunecnn() -> List[MapEntry]:
+    """Generator_RetuneCNN (reference ``generator.py:193-229``): pure
+    wave-to-wave conv stack on the template."""
+    m: List[MapEntry] = [('WNConv_0', 'conv_pre', C1)]
+    for i in range(6):
+        m.append((f'WNConv_{i + 1}', f'convs.{i}', C1))
+    m.append(('WNConv_7', 'conv_post', C1))
+    return m
+
+
+def map_hifigan_micro(n_ups: int = 3) -> List[MapEntry]:
+    """Generator_HiFiGAN_micro (reference ``generator.py:480-520``): one
+    plain k41 conv per upsample stage.  The reference leaves the stage convs
+    un-weight-normed; ``_conv_entry`` re-derives the flax (v, g) split from
+    the effective weight either way, so the function transplants exactly."""
+    m: List[MapEntry] = [('WNConv_0', 'conv_pre', C1)]
+    for i in range(n_ups):
+        m.append((f'WNConvTranspose_{i}', f'ups.{i}', CT1))
+        m.append((f'WNConv_{i + 1}', f'resblocks.{i}', C1))
+    m.append((f'WNConv_{n_ups + 1}', 'conv_post', C1))
+    return m
+
+
+def map_hifigan_mu(n_ups: int = 3) -> List[MapEntry]:
+    """Generator_HiFiGAN_mu (reference ``generator.py:523-557``):
+    upsample-only ablation."""
+    m: List[MapEntry] = [('WNConv_0', 'conv_pre', C1)]
+    for i in range(n_ups):
+        m.append((f'WNConvTranspose_{i}', f'ups.{i}', CT1))
+    m.append(('WNConv_1', 'conv_post', C1))
+    return m
+
+
+def map_refinegan(n_ups: int = 3) -> List[MapEntry]:
+    """Generator_RefineGAN, full-width UNet (reference
+    ``generator.py:560-667``): template encoder (conv_pre_y + strided downs
+    + single ResBlock per stage), mel prenet concat at the bottleneck,
+    transposed-conv decoder with skip-concat merges + 3-kernel MRF and the
+    shared learnable-noise injection."""
+    m: List[MapEntry] = [('WNConv_0', 'conv_pre_y', C1)]
+    for i in range(n_ups):
+        m.append((f'WNConv_{i + 1}', f'downs.{i}', C1))
+        m += _resblock_map(f'enc_rb_{i}', f'resblock.{i}', 2)
+    m.append((f'WNConv_{n_ups + 1}', 'conv_pre', C1))
+    for i in range(n_ups):
+        m.append((f'WNConvTranspose_{i}', f'ups.{i}', CT1))
+        m.append((f'merge_{i}', f'merge.{i}', C1))
+        for j in range(3):
+            m += _resblock_map(f'dec_rb_{i}_{j}', f'resblocks.{i * 3 + j}', 2)
+    m.append((f'WNConv_{n_ups + 2}', 'conv_post', C1))
+    m.append(('noise/w', 'noise.w', RAW))
+    return m
+
+
 GENERATOR_MAPS = {
-    'RefineGAN_small': map_refinegan_small,
+    'RetuneCNN': map_retunecnn,
+    'MelGAN': map_melgan,
+    'MelGANRetune': map_melgan_retune,
+    'MelGANSplit': map_melgan_split,
     'HiFiGAN': map_hifigan,
     'HiFiGAN_mini': map_hifigan_mini,
-    'MelGAN': map_melgan,
+    'HiFiGAN_micro': map_hifigan_micro,
+    'HiFiGAN_mu': map_hifigan_mu,
+    'RefineGAN': map_refinegan,
+    'RefineGAN_small': map_refinegan_small,
+    'HiFiGANRetune': map_hifigan_retune,
+    'HiFiGANSplit': map_hifigan_split,
 }
 
 

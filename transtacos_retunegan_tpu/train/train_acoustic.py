@@ -109,9 +109,16 @@ def train(args) -> None:
                                 wire_dtype=getattr(args, 'wire_dtype', None))
         first = pump.put_device(first)
         pump.start()
-        if pump._wire is not None:
-            logger.info(f'prefetch depth {prefetch}, wire dtype '
-                        f'{np.dtype(pump._wire).name}')
+        wire = (f', wire dtype {np.dtype(pump._wire).name}'
+                if pump._wire is not None else '')
+        logger.info(f'prefetch depth {prefetch}{wire}')
+    elif getattr(args, 'wire_dtype', None):
+        # --wire_dtype rides the DevicePrefetcher; without it (mesh path or
+        # --prefetch 0) nothing narrows, so say so instead of silently
+        # ignoring the flag
+        logger.warning('--wire_dtype has no effect: it applies only to the '
+                       'single-device --prefetch path (DevicePrefetcher not '
+                       'instantiated here)')
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     max_steps = args.max_steps or cfg.acoustic.max_steps
@@ -360,7 +367,9 @@ def main():
                         'host->device transfer (targets quantize ~1e-3 '
                         'relative; math stays float32 on device).  Halves '
                         'wire bytes and the remote tunnel host-memory '
-                        'retention per step')
+                        'retention per step.  Single-device --prefetch '
+                        'path only (ignored with a warning on the mesh '
+                        'path or with --prefetch 0)')
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--profile_dir', default=None)
     p.add_argument('--profile_start', type=int, default=20)
