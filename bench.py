@@ -340,8 +340,23 @@ def main():
                 return (time.perf_counter() - t0) / n_conc
         _conc_trial()                               # compile + warmup
         t_conc = _min_of_trials(_conc_trial, n_trial, 'concurrent')
+
+        # sustained closed-loop tail latency (p50/p95/p99): what a serving
+        # SLO sees, vs the min-of-trials throughput above which buries
+        # outlier trials (round-4's 1569 ms stall).  Short leg here; the
+        # full 60 s study with outlier classification is
+        # tools/serving_latency.py -> docs/serving_latency.json.
+        from transtacos_retunegan_tpu.tools.serving_latency import run_load
+        fns = [(lambda s=s: fe.vocode(s)) for s in specs]
+        tail = run_load(fns, duration_s=20.0, warmup_s=6.0)
+        conc_tail = tail['steady_state']
+        conc_tail = dict(conc_tail or {})
+        conc_tail['qps'] = tail['qps_steady']
+        conc_tail['outliers_gt_3x_p50'] = len(
+            tail.get('outliers_gt_3x_p50', []))
         del synth, fe
     except Exception as e:
+        conc_tail = None
         print(f'# concurrent-QPS leg skipped: {e!r}', file=sys.stderr)
 
     # (3) training throughput (free the inference params first; the GAN
@@ -393,6 +408,9 @@ def main():
             'concurrent_stream_ms': round(t_conc * 1000, 2) if t_conc else None,
             'concurrent_rtf': (round(t_conc / audio_seconds, 6)
                                if t_conc else None),
+            # sustained-load per-request latency distribution (20 s
+            # closed loop at n_conc workers; steady state = post-warmup)
+            'concurrent_tail': conc_tail,
             'audio_s': round(audio_seconds, 3),
             'mel_frames_per_s': round(t_frames / t_ac, 1),
             'vocoder_samples_per_s': round(t_frames * au.hop_length / t_vo, 1),

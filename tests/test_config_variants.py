@@ -141,3 +141,23 @@ class TestVocoderVariants:
         item = ds[0]
         assert item['tmpl'].shape == (cfg.audio.segment_size,)
         assert np.isfinite(item['tmpl']).all()
+
+
+class TestProdPreset:
+    def test_prod_preset_loads_by_name(self):
+        """`--config prod` resolves to the measured bs64 recipe without a
+        file on disk; everything else stays at reference defaults."""
+        cfg = Config.load('prod')
+        assert cfg.acoustic.batch_size == 64
+        assert cfg.vocoder.batch_size == 64
+        base = Config()
+        assert cfg.audio == base.audio
+        assert dataclasses.replace(cfg.acoustic, batch_size=16) == base.acoustic
+        assert dataclasses.replace(cfg.vocoder, batch_size=16) == base.vocoder
+
+    def test_prod_preset_round_trips_through_run_dir(self, tmp_path):
+        """Training freezes the preset into the run dir; reloading the
+        frozen file reproduces it (same contract as file configs)."""
+        cfg = Config.load('prod')
+        path = cfg.save(str(tmp_path))
+        assert Config.load(path) == cfg

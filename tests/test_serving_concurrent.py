@@ -118,6 +118,39 @@ class TestCoalescer:
         with pytest.raises(RuntimeError, match='results'):
             co('b', 0)
 
+    def test_poisoned_request_does_not_fail_healthy_cohort(self):
+        """One bad request batched with healthy ones: only the poisoned
+        payload gets the exception; the healthy majority succeeds via the
+        dispatcher's solo-retry isolation (round-4 verdict weak item 4)."""
+        calls = []
+
+        def fn(bucket, payloads):
+            calls.append(list(payloads))
+            if any(p == 'poison' for p in payloads):
+                raise ValueError('bad payload')
+            time.sleep(0.01)               # hold dispatcher so arrivals group
+            return [p.upper() for p in payloads]
+
+        co = Coalescer(fn, max_batch=8, window_s=0.08)
+
+        def req(p):
+            try:
+                return co('b', p)
+            except ValueError as e:
+                return f'ERR:{e}'
+
+        payloads = ['a', 'b', 'poison', 'c', 'd', 'e']
+        with ThreadPoolExecutor(6) as ex:
+            results = dict(zip(payloads, ex.map(req, payloads)))
+        assert results['poison'] == 'ERR:bad payload'
+        for p in 'abcde':
+            assert results[p] == p.upper(), results
+        # at least one call actually batched the poison with healthy items
+        # (otherwise this test proved nothing about cohort isolation)
+        assert any('poison' in c and len(c) > 1 for c in calls), calls
+        # dispatcher alive afterwards
+        assert co('b', 'z') == 'Z'
+
 
 class TestBatchingFrontendParity:
     """Concurrent == serial through the BatchingFrontend (library level)."""

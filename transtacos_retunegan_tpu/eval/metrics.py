@@ -59,6 +59,15 @@ def mel_cepstral_distortion(y: np.ndarray, y_hat: np.ndarray,
 
 
 def snr_db(y: np.ndarray, y_hat: np.ndarray) -> float:
+    """Time-domain SNR -- PHASE-BLIND-HOSTILE by construction.
+
+    A vocoder that re-synthesizes phase (any GAN vocoder; the reference's
+    RetuneGAN too) produces waveforms whose samples do not align with the
+    ground truth even when the audio is perceptually closer, so SNR can
+    REGRESS while mstft/MCD/pesq improve (seen in
+    ``docs/convergence_r4/quality_eval.json``: gan -1.87 dB vs GL -0.44 dB
+    with every spectral metric better).  Report it for completeness, judge
+    on the spectral metrics."""
     y, y_hat = align_lengths(y, y_hat)
     noise = y - y_hat
     return float(10 * np.log10((np.sum(y ** 2) + 1e-12)

@@ -45,9 +45,11 @@ class Coalescer:
 
     ``fn(bucket_key, payloads) -> results`` runs on the dispatcher thread
     with 1..max_batch payloads that share ``bucket_key``; submitters block
-    on a Future.  An exception in ``fn`` propagates to every waiter in the
-    group (a poisoned request fails its cohort -- acceptable for a
-    same-shape group, and it keeps the dispatcher alive)."""
+    on a Future.  When a batched ``fn`` call fails with >1 payload, the
+    dispatcher retries each payload SOLO so only the genuinely poisoned
+    request(s) receive the exception -- healthy cohort members never fail
+    for a neighbor's bad input (``test_serving_concurrent.py`` mixed-cohort
+    test).  The dispatcher itself survives all failures."""
 
     def __init__(self, fn: Callable[[Hashable, List], Sequence],
                  max_batch: int = 8, window_s: float = 0.006,
@@ -100,8 +102,23 @@ class Coalescer:
                             f'batch fn returned {len(results)} results '
                             f'for {len(futs)} payloads')
                 except Exception as e:                       # noqa: BLE001
-                    for f in futs:
-                        f.set_exception(e)
+                    if len(items) == 1:
+                        futs[0].set_exception(e)
+                        continue
+                    # poisoned-cohort isolation: re-run each payload solo so
+                    # only the bad request(s) fail.  The healthy majority
+                    # pays one retry dispatch -- rare path, correctness over
+                    # batching efficiency here.
+                    for p, f in items:
+                        try:
+                            r = self._fn(key, [p])
+                            if len(r) != 1:
+                                raise RuntimeError(
+                                    f'batch fn returned {len(r)} results '
+                                    'for 1 payload')
+                            f.set_result(r[0])
+                        except Exception as ee:              # noqa: BLE001
+                            f.set_exception(ee)
                     continue
                 for f, r in zip(futs, results):
                     f.set_result(r)

@@ -540,7 +540,11 @@ def _write_report(args, cfg, steps, loss, mel, stop,
                       f"{d.get('mstft', float('nan')):.3f} | "
                       f"{d.get('snr_db', float('nan')):.2f} |")
         md += ['', f"**GAN beats GL: {vg.get('gan_beats_gl', '?')}** "
-               f"(n={vg.get('n_items', '?')})"]
+               f"(n={vg.get('n_items', '?')})", '',
+               'Time-domain SNR is phase-blind-hostile: a GAN vocoder',
+               're-synthesizes phase, so SNR can regress while every',
+               'spectral metric improves.  Judge on pesq_proxy/MCD/mstft',
+               '(`eval/metrics.py::snr_db`).']
     md.append('')
     with open(os.path.join(args.out_dir, 'README.md'), 'w') as fh:
         fh.write('\n'.join(md))

@@ -131,6 +131,93 @@ def bench_gan(cfg: Config, b: int) -> dict:
     }
 
 
+def _time_fn(fn, *args, n: int = 10, trials: int = 3):
+    """Steady-state seconds per call: pipeline n calls, materialize once,
+    min over trials (same discipline as bench.py)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(6):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def gan_stages(cfg: Config, b: int) -> dict:
+    """Per-stage GAN step decomposition at batch ``b``: which stage stops
+    scaling linearly explains the bs32->bs64 per-sample throughput cliff
+    (``docs/train_scaling.json``: exactly-2x step time 16->32, then 1.4x
+    per-sample gain at 64)."""
+    from ..models import vocoder_losses as L
+    from ..train.vocoder_step import (_disc_forward, apply_generator,
+                                      init_gan_state)
+    rng = np.random.RandomState(0)
+    seg = cfg.audio.segment_size
+    vb = {
+        'mel': jnp.asarray(rng.randn(b, seg // 256, 80).astype(np.float32)),
+        'tmpl': jnp.asarray((rng.randn(b, seg) * 0.1).astype(np.float32)),
+        'wav': jnp.asarray((rng.randn(b, seg) * 0.1).astype(np.float32)),
+    }
+    state = init_gan_state(cfg, jax.random.PRNGKey(0), vb, 568)
+    grng = {'noise': jax.random.PRNGKey(7)}
+    y = vb['wav']
+
+    g_fwd = jax.jit(lambda gp: apply_generator(cfg, gp, vb, grng, train=True))
+    y_g = jax.block_until_ready(g_fwd(state.gen_params))
+    _, specs_r, specs_g = L.multi_stft_specs_and_loss(y, y_g, cfg)
+
+    mstft = jax.jit(lambda a, c: L.multi_stft_specs_and_loss(a, c, cfg)[0])
+
+    d_fwd = jax.jit(lambda dp: _disc_forward(cfg, dp, y, y_g, specs_r,
+                                             specs_g))
+
+    def d_loss(dp):
+        (sr, sg, _, _), (pr, pg, _, _), (tr, tg, _, _) = _disc_forward(
+            cfg, dp, y, y_g, specs_r, specs_g)
+        return (L.discriminator_loss(sr, sg, cfg)
+                + L.discriminator_loss(pr, pg, cfg)
+                + L.discriminator_loss(tr, tg, cfg))
+    d_fwdbwd = jax.jit(lambda dp: jax.grad(d_loss)(dp))
+
+    def g_loss(gp):
+        y_hat = apply_generator(cfg, gp, vb, grng, train=True)
+        loss_mstft, sp_r, sp_g = L.multi_stft_specs_and_loss(y, y_hat, cfg)
+        (sr, sg, fsr, fsg), (pr, pg, fpr, fpg), (tr, tg, ftr, ftg) = \
+            _disc_forward(cfg, state.disc_params, y, y_hat, sp_r, sp_g)
+        return (L.generator_loss(sg, sr, cfg) + L.generator_loss(pg, pr, cfg)
+                + L.generator_loss(tg, tr, cfg)
+                + (L.feature_loss(fsr, fsg) + L.feature_loss(fpr, fpg)
+                   + L.feature_loss(ftr, ftg)) * cfg.vocoder.w_loss_fm
+                + loss_mstft * cfg.vocoder.w_loss_mstft)
+    g_fwdbwd = jax.jit(lambda gp: jax.grad(g_loss)(gp))
+
+    stages = {}
+    for name, fn, arg in (
+            ('g_fwd', g_fwd, state.gen_params),
+            ('mstft', mstft, None),
+            ('d_fwd', d_fwd, state.disc_params),
+            ('d_fwdbwd', d_fwdbwd, state.disc_params),
+            ('g_fwdbwd', g_fwdbwd, state.gen_params)):
+        s = (_time_fn(fn, y, y_g) if name == 'mstft'
+             else _time_fn(fn, arg))
+        flops = (_compiled_flops(fn, y, y_g) if name == 'mstft'
+                 else _compiled_flops(fn, arg))
+        stages[name] = {
+            'ms': round(s * 1000.0, 2),
+            'ms_per_sample': round(s * 1000.0 / b, 3),
+            'mfu_pct': (round(100.0 * flops / s / _peak_flops(), 2)
+                        if flops else None),
+        }
+    return stages
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batches', default='16,32,64')
@@ -145,6 +232,10 @@ def main():
                         'compute-bound, where halving MXU pass width should '
                         'actually pay')
     p.add_argument('--gan_only', action='store_true', default=False)
+    p.add_argument('--stages', action='store_true', default=False,
+                   help='additionally decompose the GAN step per batch size '
+                        '(g_fwd / mstft / d_fwd / d_fwdbwd / g_fwdbwd as '
+                        'standalone timed programs)')
     args = p.parse_args()
     batches = [int(x) for x in args.batches.split(',')]
 
@@ -180,6 +271,11 @@ def main():
     for b in batches:
         result['gan'][str(b)] = r = bench_gan(cfg, b)
         print(f'# gan bs{b}: {r}', flush=True)
+    if args.stages:
+        result['gan_stages'] = {}
+        for b in batches:
+            result['gan_stages'][str(b)] = r = gan_stages(cfg, b)
+            print(f'# gan stages bs{b}: {r}', flush=True)
 
     base_g = result['gan'][str(batches[0])]['samples_per_s']
     result['derived'] = {
