@@ -96,16 +96,22 @@ def tf_ratio_at(step: int, hp) -> float:
     return float(hp.tf_init * 0.5 * (1.0 + np.cos(np.pi * t / hp.tf_decay)))
 
 
-def auto_frame_bucket(data_dir: str, cfg: Config) -> int:
-    """Smallest r-multiple covering every corpus utterance (+1 stop frame),
-    so the whole run jits ONE decode geometry."""
+def auto_buckets(data_dir: str, cfg: Config) -> tuple:
+    """(frame_bucket, text_bucket) covering every corpus utterance, so the
+    whole run jits ONE decode geometry.  Both are padding MULTIPLES; set to
+    the (rounded-up) corpus max they collapse the shape space to a single
+    (B, T_pad, N_pad) compile key -- on this image's tunnel every extra
+    bucket is a ~20 min remote compile of the big scan program."""
     from ..data.feeder import AcousticDataset
     r = cfg.acoustic.outputs_per_step
-    mx = 0
+    mxf = mxt = 0
     for split in ('train', 'test'):
         ds = AcousticDataset(data_dir, cfg, split)
-        mx = max(mx, max(ds.frame_len(i) for i in range(len(ds))))
-    return -(-(mx + 1) // r) * r
+        mxf = max(mxf, max(ds.frame_len(i) for i in range(len(ds))))
+        mxt = max(mxt, max(ds.text_len(i) for i in range(len(ds))))
+    fb = -(-(mxf + 1) // r) * r
+    tb = -(-mxt // cfg.acoustic.text_bucket) * cfg.acoustic.text_bucket
+    return fb, tb
 
 
 def main():
@@ -129,6 +135,12 @@ def main():
                    help='optional trained generator run dir: render the '
                         'worst-coverage utterance to wav at each eval point')
     p.add_argument('--max_texts', type=int, default=20)
+    p.add_argument('--device_data', action='store_true', default=True,
+                   help='HBM-resident corpus (data/device_data.py): the '
+                        'streaming feeder is wire-bound at ~60 MB/s on this '
+                        'tunnel (2.3 s/step measured at bs64)')
+    p.add_argument('--no_device_data', dest='device_data',
+                   action='store_false')
     p.add_argument('--skip_train', action='store_true', default=False)
     args = p.parse_args()
 
@@ -144,12 +156,13 @@ def main():
                                 min_syl=args.min_syl, max_syl=args.max_syl)
     print(f'# corpus at {data_dir}', flush=True)
 
-    fb = auto_frame_bucket(data_dir, cfg)
+    fb, tb = auto_buckets(data_dir, cfg)
     acfg = dataclasses.replace(
         cfg, acoustic=dataclasses.replace(
             cfg.acoustic, batch_size=args.batch_size, frame_bucket=fb,
+            text_bucket=tb,
             tf_start_decay=args.tf_start_decay, tf_decay=args.tf_decay))
-    print(f'# frame_bucket {fb}, batch {args.batch_size}, '
+    print(f'# frame_bucket {fb}, text_bucket {tb}, batch {args.batch_size}, '
           f'tf decay {args.tf_start_decay}..'
           f'{args.tf_start_decay + args.tf_decay}', flush=True)
     cfg_path = acfg.save(os.path.join(args.workdir, 'cfg'))
@@ -158,6 +171,7 @@ def main():
     table_path = os.path.join(args.out_dir, 'decay_table.json')
     table = json.load(open(table_path)) if os.path.exists(table_path) else {
         'recipe': {'batch_size': args.batch_size, 'frame_bucket': fb,
+                   'text_bucket': tb,
                    'tf_start_decay': args.tf_start_decay,
                    'tf_decay': args.tf_decay, 'n_utts': args.n_utts,
                    'n_speakers': args.n_speakers,
@@ -180,7 +194,8 @@ def main():
                  '--config', cfg_path, '--max_steps', str(target),
                  '--log_interval', '20',
                  '--checkpoint_interval', str(args.checkpoint_interval),
-                 '--rss_limit_gb', '95'])
+                 '--rss_limit_gb', '95']
+                + (['--device_data'] if args.device_data else []))
             steps = [int(x) for x in re.findall(r'step (\d+) \[', out)]
             spst = parse_series(out, r'\[(\d+\.\d+) s/step')
             loss = parse_series(out, r'loss (\d+\.\d+),')

@@ -56,12 +56,37 @@ def train(args) -> None:
     dataset = AcousticDataset(args.data_dir, cfg,
                               getattr(args, 'train_split', 'train'))
     logger.info(f'dataset: {len(dataset)} examples')
-    feeder = DataFeeder(dataset, cfg)
-    feeder.start()
-    pump = feeder                 # swapped for a DevicePrefetcher below
+
+    # HBM-resident corpus: upload once, gather batches on device (per-step
+    # wire bytes -> ~0; see data/device_data.py).  Single-device path only;
+    # mesh/multi-host runs keep the streaming feeder.
+    device_data = getattr(args, 'device_data', False)
+    if device_data and (jax.process_count() > 1
+                        or (getattr(args, 'num_devices', 0) or 0) > 1):
+        raise SystemExit('--device_data supports the single-device path '
+                         'only; mesh/multi-host runs stream via the feeder')
+    if device_data:
+        from ..data.device_data import (DevicePump, DeviceResidentData,
+                                        corpus_nbytes, fits_in_hbm)
+        if not fits_in_hbm(dataset, cfg):
+            raise SystemExit(
+                f'--device_data: padded corpus is '
+                f'{corpus_nbytes(dataset, cfg) / 2**30:.1f} GiB, over the '
+                'HBM budget; use the streaming feeder')
+        t0 = time.time()
+        dd = DeviceResidentData(dataset, cfg)
+        logger.info(f'device-resident corpus: {dd.nbytes() / 2**30:.2f} GiB '
+                    f'({dd.n} x T{dd.t_pad} x N{dd.n_pad}), uploaded in '
+                    f'{time.time() - t0:.1f}s')
+        pump = DevicePump(dd, seed=cfg.audio.randseed)
+        feeder = None
+    else:
+        feeder = DataFeeder(dataset, cfg)
+        feeder.start()
+        pump = feeder             # swapped for a DevicePrefetcher below
 
     rng = jax.random.PRNGKey(cfg.audio.randseed)
-    first = feeder.get_batch()
+    first = pump.get_batch()
     state = init_state(cfg, rng, first)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     logger.info(f'model params: {n_params:,}')
@@ -103,7 +128,9 @@ def train(args) -> None:
     # transfers on this image's remote tunnel).  The mesh path keeps its
     # shard_batch assembly.
     prefetch = getattr(args, 'prefetch', 2)
-    if mesh is None and prefetch > 0:
+    if device_data:
+        pass                      # batches never leave the device
+    elif mesh is None and prefetch > 0:
         from ..data.feeder import DevicePrefetcher
         pump = DevicePrefetcher(feeder, depth=prefetch,
                                 wire_dtype=getattr(args, 'wire_dtype', None))
@@ -370,6 +397,13 @@ def main():
                         'retention per step.  Single-device --prefetch '
                         'path only (ignored with a warning on the mesh '
                         'path or with --prefetch 0)')
+    p.add_argument('--device_data', action='store_true', default=False,
+                   help='upload the whole padded corpus to device HBM once '
+                        'and gather batches on device (16-bit target store, '
+                        '~1e-3 relative like --wire_dtype).  Removes the '
+                        'per-step host->device wire entirely; single-device '
+                        'path, corpus must fit the HBM budget '
+                        '(data/device_data.py::fits_in_hbm)')
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--profile_dir', default=None)
     p.add_argument('--profile_start', type=int, default=20)
