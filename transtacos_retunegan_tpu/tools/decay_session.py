@@ -193,6 +193,9 @@ def main():
                 ['--data_dir', data_dir, '--log_path', ac_run,
                  '--config', cfg_path, '--max_steps', str(target),
                  '--log_interval', '20',
+                 # TB histogram summaries pull the full batch + grads to the
+                 # host (~40 s each over the tunnel); keep them sparse
+                 '--summary_interval', '2000',
                  '--checkpoint_interval', str(args.checkpoint_interval),
                  '--rss_limit_gb', '95']
                 + (['--device_data'] if args.device_data else []))
