@@ -142,6 +142,42 @@ class TestVocoderVariants:
         assert item['tmpl'].shape == (cfg.audio.segment_size,)
         assert np.isfinite(item['tmpl']).all()
 
+    def test_finetune_template_disk_cache(self, tmp_path):
+        """Finetune-mode GL templates disk-cache next to the features: a
+        second dataset instance (fresh process in real runs) reloads the
+        identical template without recomputing; a stale-length cache entry
+        is recomputed, not trusted."""
+        import dataclasses as dc
+        import os
+        from transtacos_retunegan_tpu.audio import features as F
+        from transtacos_retunegan_tpu.data import preprocess as P
+        from transtacos_retunegan_tpu.data.vocoder_data import VocoderDataset
+        cfg = BASE
+        base = tmp_path
+        (base / 'wavs').mkdir()
+        rows = []
+        for i in range(2):
+            t = np.arange(11025 + i * 999) / 22050
+            y = (0.4 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+            F.save_wav(y, str(base / 'wavs' / f'u{i}.wav'), cfg.audio)
+            rows.append(f'u{i}|ni3 hao3|04')
+        (base / 'meta.csv').write_text('\n'.join(rows))
+        P.preprocess_generic(str(base), 'proc', str(base / 'meta.csv'),
+                             wav_dir='wavs', num_workers=1)
+        proc = str(base / 'proc')
+        # test split: deterministic (no crop/aug), so items compare exactly
+        ds1 = VocoderDataset('train', proc, cfg, finetune=True, train=False)
+        a = ds1[0]['tmpl'].copy()
+        caches = [f for f in os.listdir(proc) if f.startswith('tmpl')]
+        assert caches, os.listdir(proc)
+        ds2 = VocoderDataset('train', proc, cfg, finetune=True, train=False)
+        np.testing.assert_array_equal(a, ds2[0]['tmpl'])
+        # corrupt one cache with a wrong-length array: must recompute
+        fp = os.path.join(proc, sorted(caches)[0])
+        np.save(fp.removesuffix('.npy'), np.zeros(7, np.float32))
+        ds3 = VocoderDataset('train', proc, cfg, finetune=True, train=False)
+        np.testing.assert_array_equal(a, ds3[0]['tmpl'])
+
 
 class TestProdPreset:
     def test_prod_preset_loads_by_name(self):

@@ -76,9 +76,29 @@ class VocoderDataset:
             mel_aug = F.augment_spec(mel, self.rng, rounds=5)
             mel = mel / 2 + mel_aug / 2                    # 50/50 blend
 
-        # Griffin-Lim reference waveform (the RefineGAN template)
-        wav_tmpl = T.inv_log_mag(mag, au, length=wavlen - 1)
-        wav_tmpl = np.pad(wav_tmpl, (0, 1))
+        # Griffin-Lim reference waveform (the RefineGAN template).  In
+        # finetune mode the template is a deterministic function of the
+        # stored features, so it disk-caches next to them: one precompute
+        # serves every GAN run on the corpus (the cross-variant ranking
+        # study launches a fresh process per generator).  Scratch mode
+        # augments the source wav per-process and must recompute.
+        cache_fp = None
+        if self.finetune:
+            cache_fp = os.path.join(
+                self.data_dir,
+                f'tmpl{au.gl_iters_vocoder}-{self.names[index]}.npy')
+        wav_tmpl = None
+        if cache_fp and os.path.exists(cache_fp):
+            wav_tmpl = np.load(cache_fp)
+            if len(wav_tmpl) != wavlen:
+                wav_tmpl = None                            # stale geometry
+        if wav_tmpl is None:
+            wav_tmpl = T.inv_log_mag(mag, au, length=wavlen - 1)
+            wav_tmpl = np.pad(wav_tmpl, (0, 1))
+            if cache_fp:
+                tmp = f'{cache_fp}.{os.getpid()}.tmp.npy'
+                np.save(tmp, wav_tmpl)
+                os.replace(tmp, cache_fp)                  # atomic publish
         if au.ref_wav == 'dy':                             # first difference
             ext = np.pad(wav_tmpl, (0, 1))
             wav_tmpl = (ext[1:] - ext[:-1]).astype(np.float32)
