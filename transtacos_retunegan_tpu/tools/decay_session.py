@@ -142,6 +142,10 @@ def main():
     p.add_argument('--no_device_data', dest='device_data',
                    action='store_false')
     p.add_argument('--skip_train', action='store_true', default=False)
+    p.add_argument('--redo', action='store_true', default=False,
+                   help='re-evaluate steps already in decay_table.json '
+                        '(e.g. the final checkpoint with --vocoder_dir set '
+                        'for the listening wav)')
     args = p.parse_args()
 
     cfg = Config()
@@ -179,7 +183,8 @@ def main():
                                   'held fixed at 4x batch; see '
                                   'docs/convergence_r5/README.md'},
         'rows': []}
-    done_steps = {r['step'] for r in table['rows']}
+    done_steps = (set() if args.redo
+                  else {r['step'] for r in table['rows']})
 
     csv_path = os.path.join(args.out_dir, 'acoustic_loss.csv')
     if not os.path.exists(csv_path):
@@ -232,6 +237,7 @@ def main():
                'focus': sy['mean_focus'],
                'min_coverage': sy['min_coverage'],
                'per_utt': sy['per_utt']}
+        table['rows'] = [r for r in table['rows'] if r['step'] != target]
         table['rows'].append(row)
         table['rows'].sort(key=lambda r: r['step'])
         with open(table_path, 'w') as fh:
