@@ -186,10 +186,14 @@ class TestProdPreset:
         cfg = Config.load('prod')
         assert cfg.acoustic.batch_size == 64
         assert cfg.vocoder.batch_size == 64
+        # bs64 GAN measurably needs the R1 stabilizer
+        # (docs/convergence_r5/gan_bs64 vs gan_bs64_r1)
+        assert cfg.vocoder.r1_gamma == 0.5
         base = Config()
         assert cfg.audio == base.audio
         assert dataclasses.replace(cfg.acoustic, batch_size=16) == base.acoustic
-        assert dataclasses.replace(cfg.vocoder, batch_size=16) == base.vocoder
+        assert dataclasses.replace(cfg.vocoder, batch_size=16,
+                                   r1_gamma=0.0) == base.vocoder
 
     def test_prod_preset_round_trips_through_run_dir(self, tmp_path):
         """Training freezes the preset into the run dir; reloading the

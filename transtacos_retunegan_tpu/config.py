@@ -289,16 +289,21 @@ class Config:
         per ``docs/train_scaling.json``.  Training evidence at exactly this
         recipe -- including through the teacher-forcing decay -- lives in
         ``docs/convergence_r5/``.  The LR schedules are deliberately the
-        reference ones (Noam 1e-3/4k warmup; GAN 2e-4/1.8e-4): the recipe
-        differs from the reference in batch size only.  ``fast_cell`` stays
-        off (default decoder layout); the hoisted-force step engages
+        reference ones (Noam 1e-3/4k warmup; GAN 2e-4/1.8e-4).  The GAN
+        additionally carries ``r1_gamma=0.5``: at batch 64 the raw
+        reference recipe measurably derails (D-saturation spike,
+        ``docs/convergence_r5/gan_bs64/``) while the R1-stabilized run
+        reaches bs16 parity at 5x fewer steps
+        (``docs/convergence_r5/gan_bs64_r1/``).  ``fast_cell`` stays off
+        (default decoder layout); the hoisted-force step engages
         automatically pre-decay (``train/acoustic_step.py``).
         """
         base = cls()
         return cls(
             audio=base.audio,
             acoustic=dataclasses.replace(base.acoustic, batch_size=64),
-            vocoder=dataclasses.replace(base.vocoder, batch_size=64),
+            vocoder=dataclasses.replace(base.vocoder, batch_size=64,
+                                        r1_gamma=0.5),
         )
 
     @classmethod
