@@ -346,14 +346,20 @@ def main():
         # outlier trials (round-4's 1569 ms stall).  Short leg here; the
         # full 60 s study with outlier classification is
         # tools/serving_latency.py -> docs/serving_latency.json.
-        from transtacos_retunegan_tpu.tools.serving_latency import run_load
+        from transtacos_retunegan_tpu.tools.serving_latency import (
+            run_load, warm_cohort_sizes)
+        # the closed loop makes ragged cohorts (padded to pow2): warm every
+        # cohort-size executable first or the window measures the compiler
+        warm_cohort_sizes(fe, specs)
         fns = [(lambda s=s: fe.vocode(s)) for s in specs]
         tail = run_load(fns, duration_s=20.0, warmup_s=6.0)
-        conc_tail = tail['steady_state']
-        conc_tail = dict(conc_tail or {})
+        conc_tail = dict(tail['steady_state'] or {})
         conc_tail['qps'] = tail['qps_steady']
         conc_tail['outliers_gt_3x_p50'] = len(
             tail.get('outliers_gt_3x_p50', []))
+        if tail['errors'] or not tail['steady_state']:
+            conc_tail['errors'] = tail['errors'][:3]
+            conc_tail['overall'] = tail['overall']
         del synth, fe
     except Exception as e:
         conc_tail = None
