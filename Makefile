@@ -44,6 +44,21 @@ test-server:
 stat:
 	python -m transtacos_retunegan_tpu.tools.corpus_stats --data_dir $(DATA_DIR)
 
+# production recipe: bs64 + HBM-resident corpus + R1-stabilized GAN
+# (evidence: docs/convergence_r5/, docs/train_scaling.json)
+train-acoustic-prod:
+	python -m transtacos_retunegan_tpu.train.train_acoustic \
+		--data_dir $(DATA_DIR) --log_path $(ACOUSTIC_RUN) \
+		--config prod --device_data
+
+finetune-vocoder-prod:
+	python -m transtacos_retunegan_tpu.train.train_vocoder \
+		--data_dir $(DATA_DIR) --log_path $(VOCODER_RUN) \
+		--config prod --finetune
+
+serving-latency:
+	python -m transtacos_retunegan_tpu.tools.serving_latency --duration 60
+
 bench:
 	python bench.py
 
