@@ -102,6 +102,35 @@ def train(args) -> None:
                             replicate(mesh, state.disc_opt))
         logger.info(f'mesh: {dict(mesh.shape)} ({dp}-way DP)')
 
+    # Single-device path: pipeline host->device transfers behind the running
+    # step (same rationale as train_acoustic's DevicePrefetcher; a bs64
+    # batch is ~4.3 MB of wav/template/mel, ~70 ms of the ~320 ms step wall
+    # when transferred synchronously at dispatch).
+    def _device_batches(epoch_loader, depth=2):
+        import queue as _q
+        import threading as _th
+        q: '_q.Queue' = _q.Queue(depth)
+        sentinel = object()
+
+        def _worker():
+            try:
+                for b in epoch_loader:
+                    q.put(jax.device_put(b))
+                q.put(sentinel)
+            except BaseException as e:                   # propagate
+                q.put(e)
+
+        _th.Thread(target=_worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    prefetch = getattr(args, 'prefetch', 2)
+
     # host-side step counter: syncing ``state.step`` per batch stalls the
     # dispatch queue (see train_acoustic.py); metrics sync at stdout_interval
     step = int(state.step)
@@ -110,7 +139,9 @@ def train(args) -> None:
     for epoch in range(max(0, last_epoch), args.epochs):
         start_e = time.time()
         logger.info(f'>> Epoch {epoch + 1}')
-        for batch in loader:
+        pump = (_device_batches(loader, prefetch)
+                if mesh is None and prefetch > 0 else loader)
+        for batch in pump:
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             rng, sub = jax.random.split(rng)
@@ -249,6 +280,9 @@ def main():
                    help='checkpoint and exit 75 when host RSS exceeds this '
                         '(resume continues the run; mitigates remote-backend '
                         'transfer leaks, docs/PERF_NOTES.md).  0 = off.')
+    p.add_argument('--prefetch', type=int, default=2,
+                   help='async host->device batch pipeline depth (single-'
+                        'device path; 0 disables)')
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--compute_dtype', default=None,
                    choices=['float32', 'bfloat16'],
