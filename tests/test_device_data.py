@@ -102,3 +102,76 @@ class TestDeviceResidentData:
         state = init_state(cfg, jax.random.PRNGKey(0), batch)
         state, losses = train_step(cfg, state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(losses['loss']))
+
+
+class TestMeshDeviceResidentData:
+    """DP-sharded corpus store: local gathers, global loss-lens, sharded
+    train step (the pod-slice shape of DeviceResidentData)."""
+
+    def _mesh_dd(self, corpus, dp=8):
+        from transtacos_retunegan_tpu.data.device_data import \
+            MeshDeviceResidentData
+        from transtacos_retunegan_tpu.parallel import make_mesh
+        cfg, ds = corpus
+        cfg = dataclasses.replace(cfg, acoustic=dataclasses.replace(
+            cfg.acoustic, batch_size=8))
+        mesh = make_mesh(dp)
+        return cfg, ds, mesh, MeshDeviceResidentData(ds, cfg, mesh)
+
+    def test_gather_content_and_sharding(self, corpus):
+        from transtacos_retunegan_tpu.data.device_data import \
+            _build_host_arrays
+        cfg, ds, mesh, mdd = self._mesh_dd(corpus)
+        host = _build_host_arrays(ds, cfg, 'float16')
+        n, blk = len(ds), mdd.blk
+        idx = np.asarray([d % blk for d in range(8)], np.int32)
+        b = mdd.gather(idx)
+        for row in range(8):
+            src = (row * blk + int(idx[row])) % n        # wrap-pad rows
+            np.testing.assert_array_equal(np.asarray(b['text'][row]),
+                                          host['text'][src])
+            np.testing.assert_array_equal(
+                np.asarray(b['spec_lengths'][row]),
+                host['spec_lengths'][src])
+        # batch arrives sharded over the data axis -- no host round trip
+        assert 'data' in str(b['mel_targets'].sharding.spec)
+        r = cfg.acoustic.outputs_per_step
+        sl = np.asarray(b['spec_lengths'])
+        assert int(b['frame_loss_len']) == -(-(int(sl.max()) + 1) // r) * r
+
+    def test_sharded_train_step_runs(self, corpus):
+        from transtacos_retunegan_tpu.data.device_data import DevicePump
+        from transtacos_retunegan_tpu.parallel import (replicate,
+                                                       shard_params_tp)
+        from transtacos_retunegan_tpu.train.acoustic_step import (TrainState,
+                                                                  init_state,
+                                                                  train_step)
+        cfg, ds, mesh, mdd = self._mesh_dd(corpus)
+        pump = DevicePump(mdd, seed=3)
+        first = pump.get_batch()
+        state = init_state(cfg, jax.random.PRNGKey(0), first)
+        state = TrainState(state.step, shard_params_tp(mesh, state.params),
+                           replicate(mesh, state.opt_state),
+                           replicate(mesh, state.extra_vars))
+        state, losses = train_step(cfg, state, first, jax.random.PRNGKey(1))
+        state, losses = train_step(cfg, state, pump.get_batch(),
+                                   jax.random.PRNGKey(2))
+        assert np.isfinite(float(losses['loss']))
+
+    def test_plan_covers_each_block(self, corpus):
+        """Every shard's plan covers its own block uniformly (sharded-
+        dataset sampling semantics, like the multi-host feeder stride)."""
+        cfg, ds, mesh, mdd = self._mesh_dd(corpus)
+        it = mdd.plan(seed=5)
+        per_shard = [[] for _ in range(mdd.dp)]
+        bs_local = cfg.acoustic.batch_size // mdd.dp
+        for _ in range(4 * mdd.blk * 8):     # several epochs of batches
+            idx = next(it)
+            for d in range(mdd.dp):
+                per_shard[d].extend(
+                    idx[d * bs_local:(d + 1) * bs_local].tolist())
+        for d in range(mdd.dp):
+            counts = np.bincount(np.asarray(per_shard[d]),
+                                 minlength=mdd.blk)
+            assert counts.min() > 0
+            assert counts.max() - counts.min() <= counts.min(), counts

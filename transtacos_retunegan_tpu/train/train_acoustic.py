@@ -57,16 +57,42 @@ def train(args) -> None:
                               getattr(args, 'train_split', 'train'))
     logger.info(f'dataset: {len(dataset)} examples')
 
+    # multi-chip: (data, model) mesh -- DP over the batch, TP shardings on
+    # whitelisted kernels; GSPMD inserts the collectives (SURVEY §2.4/§7.7).
+    # Created before the data path: the device-resident corpus shards over it.
+    mesh = None
+    num_devices = getattr(args, 'num_devices', 0)
+    if jax.process_count() > 1 and not (num_devices and num_devices > 1):
+        # --coordinator alone would make the feeder slice the batch per
+        # process while mesh=None inserts NO gradient all-reduce: N hosts
+        # would silently train independent diverging models.  Fail loudly.
+        raise SystemExit('multi-host run (process_count='
+                         f'{jax.process_count()}) requires --num_devices '
+                         '(global device count) > 1 so the mesh synchronizes '
+                         'gradients across hosts')
+    if num_devices and num_devices > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(num_devices,
+                         model_parallel=getattr(args, 'model_parallel', 1))
+        dp = mesh.shape['data']
+        assert cfg.acoustic.batch_size % dp == 0, \
+            f'batch_size {cfg.acoustic.batch_size} not divisible by data axis {dp}'
+        logger.info(f'mesh: {dict(mesh.shape)} '
+                    f'({dp}-way DP x {mesh.shape["model"]}-way TP)')
+
     # HBM-resident corpus: upload once, gather batches on device (per-step
-    # wire bytes -> ~0; see data/device_data.py).  Single-device path only;
-    # mesh/multi-host runs keep the streaming feeder.
+    # wire bytes -> ~0; see data/device_data.py).  On a mesh the corpus
+    # block-shards over the data axis (HBM cost / dp) and gathers locally;
+    # multi-HOST runs keep the streaming feeder (a single process must be
+    # able to see the whole corpus here).
     device_data = getattr(args, 'device_data', False)
-    if device_data and (jax.process_count() > 1
-                        or (getattr(args, 'num_devices', 0) or 0) > 1):
-        raise SystemExit('--device_data supports the single-device path '
-                         'only; mesh/multi-host runs stream via the feeder')
+    if device_data and jax.process_count() > 1:
+        raise SystemExit('--device_data supports single-process runs '
+                         '(single- or multi-device); multi-host runs '
+                         'stream via the feeder')
     if device_data:
         from ..data.device_data import (DevicePump, DeviceResidentData,
+                                        MeshDeviceResidentData,
                                         corpus_nbytes, fits_in_hbm)
         if not fits_in_hbm(dataset, cfg):
             raise SystemExit(
@@ -74,10 +100,12 @@ def train(args) -> None:
                 f'{corpus_nbytes(dataset, cfg) / 2**30:.1f} GiB, over the '
                 'HBM budget; use the streaming feeder')
         t0 = time.time()
-        dd = DeviceResidentData(dataset, cfg)
+        dd = (MeshDeviceResidentData(dataset, cfg, mesh) if mesh is not None
+              else DeviceResidentData(dataset, cfg))
         logger.info(f'device-resident corpus: {dd.nbytes() / 2**30:.2f} GiB '
-                    f'({dd.n} x T{dd.t_pad} x N{dd.n_pad}), uploaded in '
-                    f'{time.time() - t0:.1f}s')
+                    f'({dd.n} x T{dd.t_pad} x N{dd.n_pad}'
+                    f'{", sharded" if mesh is not None else ""}), uploaded '
+                    f'in {time.time() - t0:.1f}s')
         pump = DevicePump(dd, seed=cfg.audio.randseed)
         feeder = None
     else:
@@ -96,31 +124,11 @@ def train(args) -> None:
         state = restored
         logger.info(f'resumed from step {int(state.step)}')
 
-    # multi-chip: (data, model) mesh -- DP over the batch, TP shardings on
-    # whitelisted kernels; GSPMD inserts the collectives (SURVEY §2.4/§7.7)
-    mesh = None
-    num_devices = getattr(args, 'num_devices', 0)
-    if jax.process_count() > 1 and not (num_devices and num_devices > 1):
-        # --coordinator alone would make the feeder slice the batch per
-        # process while mesh=None inserts NO gradient all-reduce: N hosts
-        # would silently train independent diverging models.  Fail loudly.
-        raise SystemExit('multi-host run (process_count='
-                         f'{jax.process_count()}) requires --num_devices '
-                         '(global device count) > 1 so the mesh synchronizes '
-                         'gradients across hosts')
-    if num_devices and num_devices > 1:
-        from ..parallel import (make_mesh, replicate, shard_batch,
-                                shard_params_tp)
-        mesh = make_mesh(num_devices,
-                         model_parallel=getattr(args, 'model_parallel', 1))
-        dp = mesh.shape['data']
-        assert cfg.acoustic.batch_size % dp == 0, \
-            f'batch_size {cfg.acoustic.batch_size} not divisible by data axis {dp}'
+    if mesh is not None:
+        from ..parallel import replicate, shard_batch, shard_params_tp
         state = TrainState(state.step, shard_params_tp(mesh, state.params),
                            replicate(mesh, state.opt_state),
                            replicate(mesh, state.extra_vars))
-        logger.info(f'mesh: {dict(mesh.shape)} '
-                    f'({dp}-way DP x {mesh.shape["model"]}-way TP)')
 
     # Single-device path: pipeline host->device transfers behind the running
     # step (DevicePrefetcher docstring has the measured numbers: the jit
@@ -172,8 +180,9 @@ def train(args) -> None:
             logger.info(f'wrote profiler trace to {args.profile_dir}')
         batch = first if first is not None else pump.get_batch()
         first = None
-        if mesh is not None:
-            batch = shard_batch(mesh, batch)
+        if mesh is not None and not device_data:
+            batch = shard_batch(mesh, batch)   # device-data batches arrive
+                                               # already mesh-sharded
         rng, sub = jax.random.split(rng)
         # hoisted-force step while decoder inputs are pure ground truth
         # (identical function, time-parallel prenet/head; the host-side
@@ -401,9 +410,10 @@ def main():
                    help='upload the whole padded corpus to device HBM once '
                         'and gather batches on device (16-bit target store, '
                         '~1e-3 relative like --wire_dtype).  Removes the '
-                        'per-step host->device wire entirely; single-device '
-                        'path, corpus must fit the HBM budget '
-                        '(data/device_data.py::fits_in_hbm)')
+                        'per-step host->device wire entirely.  On a mesh '
+                        'the corpus block-shards over the data axis; '
+                        'single-process only, corpus must fit the HBM '
+                        'budget (data/device_data.py::fits_in_hbm)')
     p.add_argument('--debug_nans', action='store_true', default=False)
     p.add_argument('--profile_dir', default=None)
     p.add_argument('--profile_start', type=int, default=20)
